@@ -1,0 +1,19 @@
+"""opticalflow_tpu — a TPU-native optical-flow framework (JAX / XLA / Pallas).
+
+A from-scratch rebuild of the capabilities of the PWC-Net reference stack
+(usseez/OpticalFlow): pyramid/warp/cost-volume optical flow, KITTI & Sintel
+evaluation, streaming video flow extraction with visualization, supervised /
+self-supervised / epipolar-filtered fine-tuning, checkpoint import/export,
+and a data-parallel multi-chip runtime — designed TPU-first:
+
+  * NHWC layouts everywhere (MXU-friendly convs),
+  * one jit-compiled program covering preprocess → network → postprocess,
+  * the correlation cost volume as a Pallas TPU kernel with a lax fallback,
+  * scaling via ``jax.sharding.Mesh`` + collectives, not host loops.
+"""
+
+__version__ = "0.1.0"
+
+from opticalflow_tpu.models.pwcnet import PWCDCNet, pwc_dc_net, pwc_dc_net_old
+
+__all__ = ["PWCDCNet", "pwc_dc_net", "pwc_dc_net_old", "__version__"]

@@ -1,0 +1,134 @@
+"""FlowEngine — the jit-compiled inference pipeline.
+
+Replaces the reference's host-side numpy/cv2 glue (``script_pwc.py:43-81``,
+``inference_kitti.py:208-224``) with a single XLA program per input shape:
+network forward + ×FLOW_SCALE descale + bilinear flow upsampling all run on
+device; only image decode and file I/O stay on host.
+
+Shape policy: XLA compiles per static shape, so the engine's jitted callables
+are cached per (padded) input shape by JAX — for video streams and dataset
+evaluation that is one compile for the whole run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.models.pwcnet import PWCDCNet, FLOW_SCALE
+from opticalflow_tpu.ops.resize import flow_resize, upsample_flow_to
+from opticalflow_tpu.io import images as imio
+
+__all__ = ["FlowEngine"]
+
+
+class FlowEngine:
+    """Batched optical-flow inference on TPU.
+
+    Args:
+      model: a PWCDCNet (or compatible) flax module.
+      params: its parameter pytree.
+      flow_scale: multiplier applied to the raw network output.  20.0 for the
+        canonical Sintel weights (``script_pwc.py:72``); the reference's own
+        fine-tuned checkpoints are trained against unscaled GT
+        (``train.py:71-72``) and need 1.0.
+      mesh: optional ``jax.sharding.Mesh`` with a "data" axis for multi-chip
+        data-parallel inference (batch must divide the axis size).
+    """
+
+    def __init__(self, model: PWCDCNet, params, *,
+                 flow_scale: float = FLOW_SCALE,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.model = model
+        self.flow_scale = float(flow_scale)
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._x_sharding = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        self.params = jax.tree.map(jnp.asarray, params)
+
+        scale = self.flow_scale
+
+        def quarter_flow(params, x):
+            return model.apply({"params": params}, x) * scale
+
+        if mesh is not None:
+            self._quarter_flow = jax.jit(
+                quarter_flow, in_shardings=(None, self._x_sharding))
+        else:
+            self._quarter_flow = jax.jit(quarter_flow)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("height", "width", "align_corners"))
+        def quarter_to_full(q, *, height, width, align_corners):
+            if align_corners:
+                return flow_resize(q, height, width)
+            return upsample_flow_to(q, height, width)
+
+        self._quarter_to_full = quarter_to_full
+
+        @functools.partial(jax.jit, static_argnames=("height", "width"))
+        def quarter_to_size(q, hscale, wscale, *, height, width):
+            # straight quarter → original-size resize (half-pixel, matching
+            # cv2.resize in script_pwc.py:76-81), then vector rescale by the
+            # /64 distortion factor.
+            b = q.shape[0]
+            flow = jax.image.resize(q, (b, height, width, 2), method="linear")
+            return flow * jnp.stack([wscale, hscale])
+
+        self._quarter_to_size = quarter_to_size
+
+    # ---------------------------------------------------------- public API
+
+    def flow_from_batch(self, x, out_size: Optional[Tuple[int, int]] = None,
+                        align_corners: bool = False) -> jax.Array:
+        """x: (B, H64, W64, 6) preprocessed input → flow at out_size
+        (default: (H64, W64))."""
+        q = self._quarter_flow(self.params, jnp.asarray(x))
+        h, w = out_size if out_size is not None else x.shape[1:3]
+        return self._quarter_to_full(q, height=int(h), width=int(w),
+                                     align_corners=align_corners)
+
+    def flow_from_pair(self, im1: np.ndarray, im2: np.ndarray, *,
+                       preset: str = "bgr_unit",
+                       size_mode: str = "resize") -> np.ndarray:
+        """uint8 RGB frame pair → (H, W, 2) flow at the original resolution.
+
+        ``size_mode="resize"`` follows the canonical CLI
+        (``script_pwc.py:47-81``): distorting resize to /64, infer, resize the
+        quarter-res flow straight back to (H, W), then scale u by W/W64 and v
+        by H/H64.  ``size_mode="pad"`` follows the evaluation drivers
+        (``inference_kitti.py:208-224``): replicate-pad, infer, upsample to
+        the padded size (align_corners=True like flow_resize), crop.
+        """
+        h, w = im1.shape[:2]
+        if size_mode == "resize":
+            r1, _, _ = imio.resize_to_multiple_of_64(im1)
+            r2, _, _ = imio.resize_to_multiple_of_64(im2)
+            h64, w64 = r1.shape[:2]
+            x = imio.preprocess_pair(r1, r2, preset)
+            q = self._quarter_flow(self.params, jnp.asarray(x))
+            flow = self._quarter_to_size(
+                q, jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
+                height=h, width=w)
+            return np.asarray(flow[0])
+        if size_mode == "pad":
+            x = imio.preprocess_pair(im1, im2, preset)
+            xp, _, _ = imio.pad_to_multiple_of_64(x)
+            hp, wp = xp.shape[1:3]
+            q = self._quarter_flow(self.params, jnp.asarray(xp))
+            full = self._quarter_to_full(q, height=hp, width=wp,
+                                         align_corners=True)
+            return np.asarray(full[0, :h, :w])
+        raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
+
+    def warmup(self, height: int, width: int, batch: int = 1) -> None:
+        """Pre-compile for a given padded input size."""
+        x = jnp.zeros((batch, height, width, 6), jnp.float32)
+        jax.block_until_ready(self._quarter_flow(self.params, x))

@@ -1,0 +1,46 @@
+"""Middlebury ``.flo`` flow-file I/O.
+
+Behavioral clone of the reference writer/reader (``script_pwc.py:12-27``,
+``pwc_extract_flow.py:46-56``, ``data_processing.py:17-29``): float32 magic
+tag 202021.25, int32 width, int32 height, then row-major interleaved (u, v)
+float32 — bit-compatible with the reference output (part of the public CLI
+contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["read_flo", "write_flo", "TAG_FLOAT"]
+
+TAG_FLOAT = 202021.25
+
+
+def write_flo(path: str, flow_uv: np.ndarray) -> None:
+    """Write (H, W, 2) float32 flow to a Middlebury .flo file."""
+    flow_uv = np.asarray(flow_uv)
+    if flow_uv.ndim != 3 or flow_uv.shape[2] != 2:
+        raise ValueError(f"flow must be (H, W, 2), got {flow_uv.shape}")
+    h, w, _ = flow_uv.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<f", TAG_FLOAT))
+        f.write(struct.pack("<i", w))
+        f.write(struct.pack("<i", h))
+        f.write(flow_uv.astype("<f4").tobytes())
+
+
+def read_flo(path: str) -> np.ndarray:
+    """Read a Middlebury .flo file into (H, W, 2) float32."""
+    with open(path, "rb") as f:
+        tag = struct.unpack("<f", f.read(4))[0]
+        if abs(tag - TAG_FLOAT) > 1e-3:
+            raise ValueError(f"{path}: bad .flo magic {tag!r}")
+        w = struct.unpack("<i", f.read(4))[0]
+        h = struct.unpack("<i", f.read(4))[0]
+        data = np.frombuffer(f.read(h * w * 2 * 4), dtype="<f4")
+    if data.size != h * w * 2:
+        raise ValueError(f"{path}: truncated .flo ({data.size} values, "
+                         f"expected {h * w * 2})")
+    return data.reshape(h, w, 2).copy()

@@ -1,0 +1,255 @@
+"""PWC-DC optical-flow network, TPU-native (flax / NHWC).
+
+A from-scratch reimplementation of the reference architecture
+(``models/PWCNet.py:40-273`` for ``PWCDCNet``, ``:277-492`` for
+``PWCDCNet_old``): a 6-level siamese feature pyramid, per-level bilinear
+backward warp of image-2 features, a max-displacement-4 correlation cost
+volume, DenseNet-style flow estimators, and a dilated context network whose
+residual refines the finest flow.
+
+Design differences from the reference (TPU-first, not a translation):
+
+  * NHWC activations everywhere — the layout TPU convs want; the reference's
+    CUDA correlation repacked NCHW→NHWC internally on every call
+    (``correlation_cuda_kernel.cu:46-70``), here we simply never leave NHWC;
+  * the cost volume is a Pallas TPU kernel / fused lax program instead of a
+    custom CUDA extension (see ``opticalflow_tpu.ops.correlation``);
+  * the whole forward is one jit-traceable function: no Python-side
+    data-dependent control flow, so XLA fuses warp+corr+dense blocks freely;
+  * optional bfloat16 compute with float32 accumulation for MXU throughput.
+
+Numeric contract preserved exactly (gates checkpoint fidelity):
+
+  * feature channels 3→16→32→64→96→128→196, LeakyReLU(0.1) after every
+    pyramid/estimator conv (``models/PWCNet.py:52-69``);
+  * per-level warp flow scaling 0.625 / 1.25 / 2.5 / 5.0 = 20/2^l
+    (``models/PWCNet.py:212,226,240,256``);
+  * warp validity-mask thresholds 0.9999 (new) / 0.999 (old variant);
+  * correlation: 81 channels, channel-mean of products, zero-pad 4;
+  * model flow output is at 1/4 input resolution, scaled by 20 downstream
+    (``script_pwc.py:72``; README "Flow values need ×20").
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.ops.convops import conv2d, deconv2d, leaky_relu
+from opticalflow_tpu.ops.correlation import correlation
+from opticalflow_tpu.ops.warp import warp_with_mask
+
+__all__ = ["PWCDCNet", "pwc_dc_net", "pwc_dc_net_old",
+           "PYRAMID_CHANNELS", "ESTIMATOR_CHANNELS", "FLOW_SCALE"]
+
+# Feature channels at pyramid levels 1..6 (index 0 = input RGB).
+PYRAMID_CHANNELS = (3, 16, 32, 64, 96, 128, 196)
+# Dense-estimator conv widths (reference dd = cumsum([128,128,96,64,32])).
+ESTIMATOR_CHANNELS = (128, 128, 96, 64, 32)
+# Ground-truth flow was divided by 20 during the reference training
+# (README:31); model outputs are multiplied back by this downstream.
+FLOW_SCALE = 20.0
+# up_flowℓ₊₁ → pixel units at level ℓ: 20 / 2^ℓ for ℓ = 5, 4, 3, 2.
+_WARP_SCALES = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _prec(dtype):
+    """float32 compute gets exact accumulation; bf16 rides the fast MXU path."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+class ConvLR(nn.Module):
+    """Conv2d + LeakyReLU(0.1) — the reference's ``conv()`` helper."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel", _kaiming,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+            jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        y = conv2d(x.astype(self.dtype), k.astype(self.dtype), b,
+                   stride=self.stride, padding=self.padding,
+                   dilation=self.dilation, precision=_prec(self.dtype))
+        return leaky_relu(y).astype(self.dtype)
+
+
+class PredictFlow(nn.Module):
+    """3×3 conv to 2 channels, no activation (reference ``predict_flow``)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", _kaiming, (3, 3, x.shape[-1], 2), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (2,), jnp.float32)
+        # flow heads stay float32: flow magnitudes feed warps and losses.
+        return conv2d(x.astype(jnp.float32), k, b, stride=1, padding=1,
+                      precision=_prec(self.dtype))
+
+
+class Deconv(nn.Module):
+    """ConvTranspose2d(k=4, s=2, p=1) equivalent (reference ``deconv``).
+
+    The kernel is stored as the HWIO weight of the equivalent forward conv
+    over the 2×-dilated input (flipped/transposed once at checkpoint-import
+    time), so runtime is a single ``conv_general_dilated``.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", _kaiming, (4, 4, x.shape[-1], self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return deconv2d(x.astype(jnp.float32), k, b,
+                        precision=_prec(self.dtype)).astype(jnp.float32)
+
+
+class PWCDCNet(nn.Module):
+    """PWC-DC network (both the current and the ``_old`` reference variants).
+
+    Input  ``x``: (B, H, W, 6) — im1 ‖ im2 stacked channel-wise, values in
+    [0, 1]; H and W must be multiples of 64 (six stride-2 levels).
+    Output: ``flow2`` (B, H/4, W/4, 2) in eval, or the tuple
+    ``(flow2, flow3, flow4, flow5, flow6)`` when ``train=True`` — matching
+    the reference forward (``models/PWCNet.py:270-273``).
+    """
+    md: int = 4
+    variant: str = "new"  # "new" = PWCDCNet, "old" = PWCDCNet_old
+    dtype: Any = jnp.float32
+    use_pallas_corr: bool = True
+
+    def _corr(self, a, b):
+        out = correlation(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            pad_size=self.md, kernel_size=1, max_displacement=self.md,
+            stride1=1, stride2=1, use_pallas=self.use_pallas_corr)
+        return leaky_relu(out).astype(self.dtype)
+
+    def _dense_block(self, x, level: int):
+        """DenseNet estimator: 5 convs with dense concatenation.
+
+        The two variants concatenate in different orders
+        (``models/PWCNet.py:202-206`` vs ``:426-443``): entries are True when
+        the conv output is concatenated *before* the running features.
+        """
+        if self.variant == "new":
+            conv_first = (True, True, True, True, True)
+        else:
+            conv_first = (False, True, False, False, False)
+        for i, (feats, cf) in enumerate(zip(ESTIMATOR_CHANNELS, conv_first)):
+            y = ConvLR(feats, dtype=self.dtype, name=f"conv{level}_{i}")(x)
+            x = jnp.concatenate((y, x) if cf else (x, y), axis=-1)
+        return x
+
+    def _pyramid(self, im):
+        """Siamese feature pyramid; returns features at levels 1..6."""
+        feats = []
+        x = im
+        for lvl in range(1, 7):
+            ch = PYRAMID_CHANNELS[lvl]
+            if self.variant == "new":
+                # level 6 names its stride-2 conv "conv6aa" (reference :67-69)
+                names = ([f"conv{lvl}a", f"conv{lvl}aa", f"conv{lvl}b"]
+                         if lvl < 6 else ["conv6aa", "conv6a", "conv6b"])
+                strides = (2, 1, 1)
+            else:
+                names = [f"conv{lvl}a", f"conv{lvl}b"]
+                strides = (2, 1)
+            for name, s in zip(names, strides):
+                x = ConvLR(ch, stride=s, dtype=self.dtype, name=name)(x)
+            feats.append(x)
+        return feats
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mask_thr = 0.9999 if self.variant == "new" else 0.999
+        im1 = x[..., :3].astype(self.dtype)
+        im2 = x[..., 3:].astype(self.dtype)
+
+        # Siamese pyramid: one set of weights applied to both images.  Batch
+        # the two images together so each conv runs once at 2B batch (better
+        # MXU utilization than two B-sized launches).
+        both = jnp.concatenate([im1, im2], axis=0)
+        feats = self._pyramid(both)
+        bsz = im1.shape[0]
+        c1 = {lvl: f[:bsz] for lvl, f in zip(range(1, 7), feats)}
+        c2 = {lvl: f[bsz:] for lvl, f in zip(range(1, 7), feats)}
+
+        flows = {}
+        up_flow = None
+        up_feat = None
+        xfeat = None
+        for lvl in (6, 5, 4, 3, 2):
+            if lvl == 6:
+                corr = self._corr(c1[6], c2[6])
+                xin = corr
+            else:
+                warped = warp_with_mask(
+                    c2[lvl], up_flow * _WARP_SCALES[lvl],
+                    mask_threshold=mask_thr).astype(self.dtype)
+                corr = self._corr(c1[lvl], warped)
+                xin = jnp.concatenate(
+                    [corr, c1[lvl], up_flow.astype(self.dtype),
+                     up_feat.astype(self.dtype)], axis=-1)
+            xfeat = self._dense_block(xin, lvl)
+            flow = PredictFlow(name=f"predict_flow{lvl}")(xfeat)
+            flows[lvl] = flow
+            if lvl > 2:
+                up_flow = Deconv(2, name=f"deconv{lvl}")(flow)
+                up_feat = Deconv(2, name=f"upfeat{lvl}")(xfeat)
+
+        # Context network: 7 dilated convs, residual added to flow2
+        # (reference models/PWCNet.py:126-132, :267-268).
+        dc = xfeat
+        dc_specs = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
+        for i, (feats_n, dil) in enumerate(dc_specs, start=1):
+            dc = ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
+                        name=f"dc_conv{i}")(dc)
+        flows[2] = flows[2] + PredictFlow(name="dc_conv7")(dc)
+
+        if train:
+            return tuple(flows[l] for l in (2, 3, 4, 5, 6))
+        return flows[2]
+
+
+def pwc_dc_net(path: str | None = None, **kwargs):
+    """Build the current-variant PWCDCNet; optionally load weights.
+
+    Returns ``(module, params)`` — params are freshly initialized when
+    ``path`` is None.  Mirrors reference ``pwc_dc_net``
+    (``models/PWCNet.py:497-506``).
+    """
+    model = PWCDCNet(variant="new", **kwargs)
+    params = _init_or_load(model, path)
+    return model, params
+
+
+def pwc_dc_net_old(path: str | None = None, **kwargs):
+    """Legacy 2-conv-per-level variant (``models/PWCNet.py:511-520``)."""
+    model = PWCDCNet(variant="old", **kwargs)
+    params = _init_or_load(model, path)
+    return model, params
+
+
+def _init_or_load(model: PWCDCNet, path: str | None):
+    if path is not None:
+        from opticalflow_tpu.models import torch_import
+        return torch_import.import_checkpoint(path, variant=model.variant)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, 6), jnp.float32)
+    return model.init(rng, dummy)["params"]

@@ -1,0 +1,120 @@
+"""Local cost-volume correlation (TPU-native replacement for the reference's
+``correlation_package`` CUDA extension).
+
+Semantics replicated from the CUDA kernel (reference:
+``models/correlation_package/correlation_cuda_kernel.cu:73-147`` and glue
+``correlation_cuda.cc:10-87``):
+
+  * both inputs are zero-padded by ``pad_size``;
+  * output channel ``tc = (tj + D) * (2D+1) + (ti + D)`` with
+    ``D = max_displacement // stride2`` and displacement ``(ti, tj)`` applied
+    to input2 (x2 = x1 + ti*stride2, y2 = y1 + tj*stride2);
+  * each output value is the **channel-mean** of the elementwise product over
+    a ``kernel_size²`` window: ``acc / (k*k*C)`` (the division at
+    ``correlation_cuda_kernel.cu:143``).  Note the reference's pure-PyTorch
+    ONNX fallback (``correlation.py:12-40``) omits this mean — the CUDA
+    semantics are what the shipped weights were trained with, so that is what
+    we implement;
+  * ``corr_multiply`` is accepted but **not** applied (dead in the CUDA
+    forward), matching the reference;
+  * output spatial size = ceil((dim + 2*pad - 2*(kernel_radius +
+    max_displacement)) / stride1) (``correlation_cuda.cc:25-34``).
+
+Layout here is NHWC (TPU-native).  Two implementations:
+
+  * :func:`correlation_lax` — pure jax.numpy/lax, differentiable via standard
+    AD; serves as the oracle and the fallback for unusual hyperparameters;
+  * a Pallas TPU kernel (``opticalflow_tpu.ops.pallas_corr``) for the hot
+    configuration (kernel_size=1, stride1=stride2=1, pad==md) used by
+    PWC-Net, selected automatically by :func:`correlation`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["correlation", "correlation_lax"]
+
+
+def _out_dim(dim: int, pad: int, kernel_radius: int, md: int, stride1: int) -> int:
+    return -(-(dim + 2 * pad - 2 * (kernel_radius + md)) // stride1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_size", "kernel_size", "max_displacement",
+                     "stride1", "stride2"),
+)
+def correlation_lax(f1: jax.Array, f2: jax.Array, *,
+                    pad_size: int = 4, kernel_size: int = 1,
+                    max_displacement: int = 4, stride1: int = 1,
+                    stride2: int = 1) -> jax.Array:
+    """Reference (lax) implementation of the local correlation volume.
+
+    f1, f2: (B, H, W, C) NHWC.  Returns (B, Ho, Wo, (2D+1)²) with D =
+    max_displacement // stride2, channel-last so the cost volume feeds
+    straight into NHWC convs.
+    """
+    b, h, w, c = f1.shape
+    kr = (kernel_size - 1) // 2
+    disp = max_displacement // stride2
+    nd = 2 * disp + 1
+    ho = _out_dim(h, pad_size, kr, max_displacement, stride1)
+    wo = _out_dim(w, pad_size, kr, max_displacement, stride1)
+
+    # Pad by an extra kernel radius: for pad_size < kr + md the reference CUDA
+    # kernel reads out of bounds (UB); we define those reads as zeros.
+    p = pad_size + kr
+    pad = ((0, 0), (p, p), (p, p), (0, 0))
+    f1p = jnp.pad(f1.astype(jnp.float32), pad)
+    f2p = jnp.pad(f2.astype(jnp.float32), pad)
+
+    # Output pixel (y, x) reads padded coords y1 = y*stride1 + md (the CUDA
+    # kernel's blockIdx mapping, correlation_cuda_kernel.cu:90-91).
+    inv_nelems = 1.0 / (kernel_size * kernel_size * c)
+    span_h = (ho - 1) * stride1 + 1
+    span_w = (wo - 1) * stride1 + 1
+
+    outs = []
+    for tj in range(-disp, disp + 1):
+        for ti in range(-disp, disp + 1):
+            acc = 0.0
+            for j in range(-kr, kr + 1):
+                for i in range(-kr, kr + 1):
+                    y1 = kr + max_displacement + j
+                    x1 = kr + max_displacement + i
+                    y2 = y1 + tj * stride2
+                    x2 = x1 + ti * stride2
+                    a = jax.lax.slice(
+                        f1p, (0, y1, x1, 0),
+                        (b, y1 + span_h, x1 + span_w, c),
+                        (1, stride1, stride1, 1))
+                    bb = jax.lax.slice(
+                        f2p, (0, y2, x2, 0),
+                        (b, y2 + span_h, x2 + span_w, c),
+                        (1, stride1, stride1, 1))
+                    acc = acc + jnp.sum(a * bb, axis=-1)
+            outs.append(acc * inv_nelems)
+    out = jnp.stack(outs, axis=-1)
+    return out.reshape(b, ho, wo, nd * nd)
+
+
+def correlation(f1: jax.Array, f2: jax.Array, *,
+                pad_size: int = 4, kernel_size: int = 1,
+                max_displacement: int = 4, stride1: int = 1,
+                stride2: int = 1, use_pallas: bool = True) -> jax.Array:
+    """Local correlation volume, dispatching to the Pallas TPU kernel for the
+    PWC-Net hot configuration and to the lax fallback otherwise."""
+    hot = (kernel_size == 1 and stride1 == 1 and stride2 == 1
+           and pad_size == max_displacement)
+    if use_pallas and hot:
+        from opticalflow_tpu.ops import pallas_corr
+        if pallas_corr.supported(f1):
+            return pallas_corr.correlation_pallas(
+                f1, f2, max_displacement=max_displacement)
+    return correlation_lax(
+        f1, f2, pad_size=pad_size, kernel_size=kernel_size,
+        max_displacement=max_displacement, stride1=stride1, stride2=stride2)

@@ -1,0 +1,88 @@
+"""End-to-end parity: JAX PWCDCNet vs a torch-CPU oracle with shared weights.
+
+Mirrors the reference's own parity methodology (``onnx_pth_compare.py``):
+identical inputs and weights through two implementations, compared with tight
+float32 tolerances.  Weights flow through the real importer
+(``torch state_dict → flax params``), so this also validates the checkpoint
+importer the fidelity target depends on.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from opticalflow_tpu.models.pwcnet import PWCDCNet
+from opticalflow_tpu.models.torch_import import (import_state_dict,
+                                                 export_state_dict)
+from oracles.torch_pwcnet import OraclePWC
+
+
+@pytest.fixture(scope="module", params=["new", "old"])
+def pair(request):
+    variant = request.param
+    torch.manual_seed(0)
+    oracle = OraclePWC(variant=variant).eval()
+    # scale weights down: random kaiming weights at 565-ch depth explode
+    for p in oracle.parameters():
+        p.data *= 0.5
+    params = import_state_dict(oracle.state_dict_flat(), variant=variant)
+    model = PWCDCNet(variant=variant, use_pallas_corr=False)
+    return variant, oracle, model, params
+
+
+def _run_pair(oracle, model, params, h, w, train=False, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(1, h, w, 6).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2), train=train)
+    out = model.apply({"params": params}, jnp.asarray(x), train=train)
+    if not train:
+        ref, out = (ref,), (out,)
+    return [(np.asarray(o), r.permute(0, 2, 3, 1).numpy())
+            for o, r in zip(out, ref)]
+
+
+def test_eval_forward_parity(pair):
+    _, oracle, model, params = pair
+    (ours, ref), = _run_pair(oracle, model, params, 64, 128)
+    assert ours.shape == ref.shape == (1, 16, 32, 2)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_train_forward_parity(pair):
+    _, oracle, model, params = pair
+    results = _run_pair(oracle, model, params, 64, 64, train=True)
+    assert len(results) == 5  # flow2..flow6
+    for ours, ref in results:
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_state_dict_round_trip(pair):
+    variant, oracle, _, params = pair
+    sd = export_state_dict(params, variant=variant)
+    orig = oracle.state_dict_flat()
+    for k, v in orig.items():
+        if k.startswith("deconv2."):
+            continue  # unused in forward; zero-synthesized on export
+        np.testing.assert_array_equal(sd[k], v.numpy(), err_msg=k)
+    # exported dict must load strict into a fresh torch oracle
+    fresh = OraclePWC(variant=variant)
+    fresh.load_state_dict({f"m.{k}": torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()
+                           if not k.startswith("deconv2.")}, strict=False)
+
+
+def test_param_count_matches_reference():
+    """PWC-Net is ≈9.4M params (SURVEY.md §6)."""
+    model = PWCDCNet()
+    import jax
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 6)))["params"]
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    oracle = OraclePWC()
+    n_ref = sum(p.numel() for k, p in oracle.named_parameters()
+                if "deconv2." not in k)
+    assert n == n_ref
+    assert 9_000_000 < n < 10_000_000

@@ -1,0 +1,179 @@
+"""Unit tests for core ops vs torch-CPU and numpy oracles."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.ops.correlation import correlation_lax
+from opticalflow_tpu.ops.convops import conv2d, deconv2d
+from opticalflow_tpu.ops.warp import warp_with_mask, bilinear_warp
+
+from oracles.torch_pwcnet import corr_mean, ref_warp
+
+
+def _rand(shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------- correlation
+
+@pytest.mark.parametrize("shape", [(1, 8, 8, 4), (2, 12, 16, 7)])
+def test_correlation_matches_cuda_semantics(shape):
+    f1 = _rand(shape, 1)
+    f2 = _rand(shape, 2)
+    out = correlation_lax(jnp.asarray(f1), jnp.asarray(f2),
+                          pad_size=4, max_displacement=4)
+    ref = corr_mean(torch.from_numpy(f1).permute(0, 3, 1, 2),
+                    torch.from_numpy(f2).permute(0, 3, 1, 2), md=4)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_correlation_channel_order():
+    """Displacement (ti, tj) must land in channel (tj+4)*9 + (ti+4)."""
+    h, w, c = 16, 16, 3
+    f1 = np.zeros((1, h, w, c), np.float32)
+    f2 = np.zeros((1, h, w, c), np.float32)
+    f1[0, 8, 8, :] = 1.0
+    ti, tj = 2, -3
+    f2[0, 8 + tj, 8 + ti, :] = 1.0
+    out = np.array(correlation_lax(jnp.asarray(f1), jnp.asarray(f2)))
+    tc = (tj + 4) * 9 + (ti + 4)
+    assert out[0, 8, 8, tc] == pytest.approx(1.0)  # mean over c of 1*1
+    out[0, 8, 8, tc] = 0
+    assert np.all(out == 0)
+
+
+def test_correlation_zero_padding():
+    """Out-of-bounds f2 reads are zeros, not clamped."""
+    f1 = np.ones((1, 8, 8, 2), np.float32)
+    f2 = np.ones((1, 8, 8, 2), np.float32)
+    out = np.asarray(correlation_lax(jnp.asarray(f1), jnp.asarray(f2)))
+    # at (0,0), displacement (-4,-4) reads f2[-4,-4] -> zero padding
+    assert out[0, 0, 0, 0] == 0.0
+    # center displacement (0,0) channel 40 = mean(1*1) = 1
+    assert out[0, 4, 4, 40] == pytest.approx(1.0)
+
+
+def test_correlation_grad_matches_torch():
+    f1 = _rand((1, 8, 10, 3), 3)
+    f2 = _rand((1, 8, 10, 3), 4)
+    g = _rand((1, 8, 10, 81), 5)
+
+    def loss(a, b):
+        return jnp.sum(correlation_lax(a, b) * jnp.asarray(g))
+
+    ja, jb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(f1), jnp.asarray(f2))
+
+    t1 = torch.from_numpy(f1).permute(0, 3, 1, 2).requires_grad_(True)
+    t2 = torch.from_numpy(f2).permute(0, 3, 1, 2).requires_grad_(True)
+    out = corr_mean(t1, t2)
+    out.backward(torch.from_numpy(g).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(ja), t1.grad.permute(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jb), t2.grad.permute(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,md,s1,s2,pad", [(3, 4, 1, 1, 4), (1, 4, 2, 2, 4)])
+def test_correlation_general_config_shape(k, md, s1, s2, pad):
+    """General hyperparameters follow the CUDA glue's output-size formula."""
+    h, w = 20, 24
+    f1 = jnp.asarray(_rand((1, h, w, 3), 6))
+    out = correlation_lax(f1, f1, pad_size=pad, kernel_size=k,
+                          max_displacement=md, stride1=s1, stride2=s2)
+    kr = (k - 1) // 2
+    ho = -(-(h + 2 * pad - 2 * (kr + md)) // s1)
+    wo = -(-(w + 2 * pad - 2 * (kr + md)) // s1)
+    d = 2 * (md // s2) + 1
+    assert out.shape == (1, ho, wo, d * d)
+
+
+# ----------------------------------------------------------------------- warp
+
+@pytest.mark.parametrize("thr", [0.9999, 0.999])
+def test_warp_matches_reference(thr):
+    b, h, w, c = 2, 12, 18, 5
+    x = _rand((b, h, w, c), 7)
+    flow = (_rand((b, h, w, 2), 8) * 3.0).astype(np.float32)
+    out = warp_with_mask(jnp.asarray(x), jnp.asarray(flow), mask_threshold=thr)
+    ref = ref_warp(torch.from_numpy(x).permute(0, 3, 1, 2),
+                   torch.from_numpy(flow).permute(0, 3, 1, 2), thr)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_warp_zero_flow_not_identity():
+    """Torch-2.x semantics quirk the EPE target forces us to reproduce: the
+    (W-1) normalization + align_corners=False sampling means zero flow is NOT
+    an exact identity (effective coord x*W/(W-1) - 0.5)."""
+    h = w = 8
+    x = _rand((1, h, w, 1), 9)
+    flow = np.zeros((1, h, w, 2), np.float32)
+    out = warp_with_mask(jnp.asarray(x), jnp.asarray(flow))
+    ref = ref_warp(torch.from_numpy(x).permute(0, 3, 1, 2),
+                   torch.from_numpy(flow).permute(0, 3, 1, 2), 0.9999)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_bilinear_warp_matches_align_corners_true():
+    """The loss-side warp (train2.py:44-61) uses align_corners=True."""
+    b, h, w, c = 1, 10, 14, 3
+    x = _rand((b, h, w, c), 10)
+    flow = (_rand((b, h, w, 2), 11) * 2.0).astype(np.float32)
+    out = bilinear_warp(jnp.asarray(x), jnp.asarray(flow))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ft = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack((xs, ys)).float()[None] + ft
+    gx = 2.0 * grid[:, 0] / max(w - 1, 1) - 1.0
+    gy = 2.0 * grid[:, 1] / max(h - 1, 1) - 1.0
+    ref = F.grid_sample(xt, torch.stack((gx, gy), dim=3),
+                        align_corners=True, padding_mode="zeros")
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+# ----------------------------------------------------------------- conv ops
+
+@pytest.mark.parametrize("stride,padding,dilation", [(1, 1, 1), (2, 1, 1),
+                                                     (1, 4, 4), (1, 16, 16)])
+def test_conv2d_matches_torch(stride, padding, dilation):
+    ci, co, h, w = 5, 7, 16, 20
+    x = _rand((1, h, w, ci), 12)
+    conv = torch.nn.Conv2d(ci, co, 3, stride, padding, dilation)
+    w_t = conv.weight.detach().numpy()
+    b_t = conv.bias.detach().numpy()
+    out = conv2d(jnp.asarray(x), jnp.asarray(w_t.transpose(2, 3, 1, 0)),
+                 jnp.asarray(b_t), stride=stride, padding=padding,
+                 dilation=dilation, precision=jax.lax.Precision.HIGHEST)
+    ref = conv(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.detach().permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_deconv2d_matches_torch():
+    ci, co, h, w = 6, 2, 9, 13
+    x = _rand((1, h, w, ci), 13)
+    dconv = torch.nn.ConvTranspose2d(ci, co, 4, 2, 1)
+    w_t = dconv.weight.detach().numpy()  # (ci, co, 4, 4)
+    k = np.flip(w_t, axis=(2, 3)).transpose(2, 3, 0, 1).copy()
+    out = deconv2d(jnp.asarray(x), jnp.asarray(k),
+                   jnp.asarray(dconv.bias.detach().numpy()),
+                   precision=jax.lax.Precision.HIGHEST)
+    ref = dconv(torch.from_numpy(x).permute(0, 3, 1, 2))
+    assert out.shape == (1, 2 * h, 2 * w, co)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.detach().permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-4)
