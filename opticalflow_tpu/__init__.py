@@ -14,6 +14,28 @@ and a data-parallel multi-chip runtime — designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first PWC compile is ~1 min on TPU;
+    cached reloads are seconds).  Opt out with OPTICALFLOW_TPU_CACHE=0."""
+    path = _os.environ.get(
+        "OPTICALFLOW_TPU_CACHE",
+        _os.path.expanduser("~/.cache/opticalflow_tpu_xla"))
+    if path in ("", "0"):
+        return
+    try:
+        import jax
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from opticalflow_tpu.models.pwcnet import PWCDCNet, pwc_dc_net, pwc_dc_net_old
 
 __all__ = ["PWCDCNet", "pwc_dc_net", "pwc_dc_net_old", "__version__"]

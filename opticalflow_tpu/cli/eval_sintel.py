@@ -1,0 +1,38 @@
+"""MPI-Sintel EPE evaluation CLI (the README:36 benchmark: clean 1.83 /
+final 2.31 with the canonical weights)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Sintel EPE evaluation (TPU)")
+    p.add_argument("--root", required=True, help="MPI-Sintel root")
+    p.add_argument("--render", choices=("clean", "final"), default="clean")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--variant", choices=("new", "old"), default="new")
+    p.add_argument("--preset", default="bgr_unit")
+    p.add_argument("--flow-scale", type=float, default=20.0)
+    p.add_argument("--limit", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.evaluate import evaluate_sintel
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.train.checkpoints import load_params
+
+    model = PWCDCNet(variant=args.variant)
+    params = load_params(args.ckpt, variant=args.variant)
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    res = evaluate_sintel(engine, args.root, render=args.render,
+                          preset=args.preset, limit=args.limit)
+    return 0 if res["num_pairs"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

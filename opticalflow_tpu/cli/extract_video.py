@@ -1,0 +1,123 @@
+"""Streaming video flow extraction CLI (the ``pwc_extract_flow_video.py`` /
+``..._vanishpoint.py`` equivalent): video in → overlay video out.
+
+Overlay modes:
+  * ``arrows``      — cv2 arrow quiver (default)
+  * ``color``       — Middlebury color-wheel side
+  * ``vanish``      — arrows + vanishing-point marker
+  * ``compare``     — side-by-side with an OpenCV flow baseline
+  * ``topview``     — perspective-warp to top view, dominant-direction arrows
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Video optical-flow extraction (TPU)")
+    p.add_argument("video")
+    p.add_argument("out", help="output video path (.mp4)")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--variant", choices=("new", "old"), default="new")
+    p.add_argument("--mode", default="arrows",
+                   choices=("arrows", "color", "vanish", "compare", "topview"))
+    p.add_argument("--preset", default="rgb_unit")
+    p.add_argument("--flow-scale", type=float, default=1.0)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--step", type=int, default=16, help="arrow grid stride")
+    p.add_argument("--arrow-scale", type=float, default=1.0)
+    p.add_argument("--compare-method", default="farneback",
+                   choices=("farneback", "dis", "lucaskanade_dense"))
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="bfloat16")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.train.checkpoints import load_params
+    from opticalflow_tpu.video import VideoFlowRunner, frame_pairs_from_video
+    from opticalflow_tpu.viz import overlay as ov
+    from opticalflow_tpu.viz.colorwheel import flow_to_color
+    from opticalflow_tpu.viz.vanishing import (estimate_vanishing_point,
+                                               draw_vanishing_point)
+    from opticalflow_tpu.viz import topview as tv
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = PWCDCNet(variant=args.variant, dtype=dtype,
+                     precision="fast" if args.dtype == "bfloat16"
+                     else "highest")
+    params = load_params(args.ckpt, variant=args.variant)
+    runner = VideoFlowRunner(model, params, preset=args.preset,
+                             flow_scale=args.flow_scale, batch=args.batch)
+
+    cap = cv2.VideoCapture(args.video)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    out_w = w * 2 if args.mode in ("color", "compare") else w
+    writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (out_w, h))
+
+    tv_matrix = tv.perspective_matrix(w, h) if args.mode == "topview" else None
+    frames = frame_pairs_from_video(args.video, max_frames=args.max_frames)
+    if args.mode == "topview":
+        frames = (tv.warp_topview(f, tv_matrix) for f in frames)
+
+    n = 0
+    t0 = None  # start timing after the first (compile-laden) result
+    prev_frame = [None]
+    for frame, qflow in runner.run(frames):
+        if t0 is None:
+            t0 = time.perf_counter()
+        if args.mode == "arrows":
+            out = ov.arrow_overlay(frame, qflow, step=args.step,
+                                   scale=args.arrow_scale,
+                                   title="PWC-Net (TPU)")
+        elif args.mode == "color":
+            full = ov.resize_flow_np(qflow, h, w)
+            out = ov.side_by_side(frame, flow_to_color(full)[..., ::-1])
+        elif args.mode == "vanish":
+            full = ov.resize_flow_np(qflow, h, w)
+            out = ov.arrow_overlay(frame, full, step=args.step,
+                                   scale=args.arrow_scale)
+            out = draw_vanishing_point(out, estimate_vanishing_point(full))
+        elif args.mode == "compare":
+            left = ov.arrow_overlay(frame, qflow, step=args.step,
+                                    scale=args.arrow_scale, title="PWC-Net")
+            if prev_frame[0] is not None:
+                base = ov.opencv_flow(prev_frame[0], frame,
+                                      args.compare_method)
+                right = ov.arrow_overlay(frame, base, step=args.step,
+                                         scale=args.arrow_scale,
+                                         title=args.compare_method,
+                                         color="lime")
+            else:
+                right = frame
+            out = ov.side_by_side(left, right)
+            prev_frame[0] = frame
+        else:  # topview
+            full = ov.resize_flow_np(qflow, h, w)
+            dom = tv.dominant_direction(full)
+            out = tv.draw_direction_arrows(frame, full, step=20,
+                                           scale=5.0, dominant=dom)
+        writer.write(out[:h, :out_w])
+        n += 1
+    writer.release()
+    dt = (time.perf_counter() - t0) if t0 is not None else 0.0
+    fps_out = (n - 1) / dt if (n > 1 and dt > 0) else float("nan")
+    print(f"{n} frame pairs -> {args.out}  ({fps_out:.1f} fps steady-state)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

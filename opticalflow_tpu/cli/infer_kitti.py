@@ -1,0 +1,52 @@
+"""KITTI evaluation CLI (the ``inference_kitti.py`` equivalent).
+
+Example::
+
+    python -m opticalflow_tpu.cli.infer_kitti --root /data/kitti2015 \
+        --ckpt ckpt.pth.tar --year 2015 --flow flow_occ --save-dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="KITTI flow evaluation (TPU)")
+    p.add_argument("--root", required=True, help="KITTI dataset root")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--year", type=int, choices=(2012, 2015), default=2015)
+    p.add_argument("--flow", dest="flow_kind", default="flow_occ",
+                   choices=("flow_occ", "flow_noc"))
+    p.add_argument("--variant", choices=("new", "old"), default="new")
+    p.add_argument("--preset", default="rgb_imagenet",
+                   help="rgb_imagenet matches the repo's fine-tuned ckpts; "
+                        "bgr_unit for the canonical weights")
+    p.add_argument("--flow-scale", type=float, default=1.0,
+                   help="1.0 for GT-space checkpoints, 20.0 for canonical")
+    p.add_argument("--save-dir", default=None,
+                   help="optionally dump predicted flows as KITTI PNGs")
+    p.add_argument("--limit", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp  # noqa: F401  (ensures backend init order)
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.evaluate import evaluate_kitti
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.train.checkpoints import load_params
+
+    model = PWCDCNet(variant=args.variant)
+    params = load_params(args.ckpt, variant=args.variant)
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    res = evaluate_kitti(engine, args.root, year=args.year,
+                         flow_kind=args.flow_kind, preset=args.preset,
+                         save_dir=args.save_dir, limit=args.limit)
+    return 0 if res["num_pairs"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

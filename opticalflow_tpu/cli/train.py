@@ -1,0 +1,219 @@
+"""Unified training CLI covering all four reference regimes.
+
+  --regime charbonnier : supervised KITTI fine-tune, full-res masked
+                         Charbonnier (``train.py``)
+  --regime multiscale  : supervised multiscale loss + AdamW + grad clip
+                         (``train2.py``)
+  --regime pseudo      : self-supervised proxy-label (SSIM+L1 photometric +
+                         smoothness) on consecutive frames (``train_pseudo.py``)
+  --regime epipolar    : pseudo + per-sample epipolar inlier masking /
+                         optional Sampson penalty (``train_fundamental.py``)
+
+TPU-native: one jitted, state-donating train step; data-parallel over all
+chips via a 1-D mesh; Orbax checkpoints with deterministic loader-state
+resume; JSONL metrics + loss-curve PNG (the train2 ``plot_metrics``
+equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="PWC-Net training (TPU)")
+    p.add_argument("--regime", default="multiscale",
+                   choices=("charbonnier", "multiscale", "pseudo", "epipolar"))
+    p.add_argument("--data-root", required=True,
+                   help="KITTI training root (supervised) or a frames "
+                        "dir/video file (self-supervised)")
+    p.add_argument("--list-file", default=None)
+    p.add_argument("--out-dir", default="runs/default")
+    p.add_argument("--pretrained", default=None,
+                   help="torch .pth(.tar) or Orbax checkpoint to start from")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--crop", type=int, nargs=2, default=(320, 896))
+    p.add_argument("--size", type=int, nargs=2, default=(384, 512),
+                   help="frame size for self-supervised regimes")
+    p.add_argument("--flow-scale", type=float, default=1.0)
+    p.add_argument("--lambda-photo", type=float, default=0.0)
+    p.add_argument("--lambda-smooth", type=float, default=0.0)
+    p.add_argument("--epi-tau", type=float, default=1.0)
+    p.add_argument("--epi-stride", type=int, default=6)
+    p.add_argument("--epi-soft-w", type=float, default=0.1)
+    p.add_argument("--variant", choices=("new", "old"), default="new")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute (f32 flow heads/optimizer)")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--save-every", type=int, default=1, metavar="EPOCHS")
+    p.add_argument("--log-every", type=int, default=10, metavar="STEPS")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _make_dataset(args):
+    if args.regime in ("charbonnier", "multiscale"):
+        from opticalflow_tpu.data.datasets import KittiFlowTrain
+        return KittiFlowTrain(args.data_root, list_file=args.list_file,
+                              crop_hw=tuple(args.crop), seed=args.seed)
+    from opticalflow_tpu.data.datasets import ConsecutiveFrames
+    return ConsecutiveFrames(args.data_root, size_hw=tuple(args.size))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.parallel import mesh as meshlib
+    from opticalflow_tpu.train.trainer import (TrainConfig, TrainState,
+                                               create_train_state,
+                                               make_train_step)
+    from opticalflow_tpu.train import checkpoints as ckpt
+    from opticalflow_tpu.data.loader import Loader
+
+    regime_to_loss = {"charbonnier": "charbonnier_full",
+                      "multiscale": "multiscale", "pseudo": "proxy",
+                      "epipolar": "proxy_epipolar"}
+    cfg = TrainConfig(
+        loss=regime_to_loss[args.regime],
+        optimizer="adam" if args.regime != "multiscale" else "adamw",
+        lr=args.lr, weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        lambda_photo=args.lambda_photo, lambda_smooth=args.lambda_smooth,
+        epi_soft_weight=args.epi_soft_w if args.regime == "epipolar" else 0.0,
+        flow_scale=args.flow_scale)
+
+    model = PWCDCNet(variant=args.variant,
+                     dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                     precision="fast")
+    mesh = meshlib.make_mesh()
+    print(f"devices: {jax.device_count()} | mesh: {dict(mesh.shape)} | "
+          f"regime: {args.regime}")
+
+    params = None
+    if args.pretrained:
+        params = ckpt.load_params(args.pretrained, variant=args.variant)
+    state, tx = create_train_state(model, jax.random.PRNGKey(args.seed), cfg,
+                                   params=params)
+
+    ds = _make_dataset(args)
+    loader = Loader(ds, args.batch, num_workers=args.workers, seed=args.seed)
+
+    start_epoch = 0
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.resume:
+        step = ckpt.latest_step(args.out_dir)
+        if step is not None:
+            import numpy as _np
+            like = {"params": jax.tree.map(_np.asarray, state.params),
+                    "opt_state": jax.tree.map(_np.asarray, state.opt_state),
+                    "step": _np.asarray(0)}
+            restored = ckpt.restore_train_state(args.out_dir, like=like)
+            state = TrainState(step=jnp.asarray(restored["step"]),
+                               params=restored["params"],
+                               opt_state=jax.tree.map(
+                                   jnp.asarray,
+                                   restored.get("opt_state",
+                                                state.opt_state)))
+            meta = restored.get("metadata", {})
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            if "loader" in meta:
+                loader.restore(json.loads(meta["loader"]))
+            print(f"resumed from step {step} (epoch {start_epoch})")
+
+    step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    log_path = os.path.join(args.out_dir, "metrics.jsonl")
+    epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
+
+    history = []
+    for epoch in range(start_epoch, args.epochs):
+        loader.epoch = epoch
+        t0 = time.perf_counter()
+        epoch_loss, nsteps = 0.0, 0
+        for batch in loader:
+            if args.regime == "epipolar":
+                batch = _attach_epipolar(model, state, batch, args, epi_keys)
+            batch = meshlib.shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch)
+            nsteps += 1
+            loss = float(metrics["loss"])
+            epoch_loss += loss
+            if nsteps % args.log_every == 0:
+                rec = {"epoch": epoch, "step": int(state.step),
+                       **{k: float(v) for k, v in metrics.items()}}
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(f"e{epoch} s{int(state.step)} "
+                      + " ".join(f"{k}={float(v):.4f}"
+                                 for k, v in metrics.items()))
+        dt = time.perf_counter() - t0
+        mean_loss = epoch_loss / max(nsteps, 1)
+        ips = nsteps * args.batch / max(dt, 1e-9)
+        print(f"epoch {epoch}: loss={mean_loss:.4f} "
+              f"({ips:.1f} samples/s, {dt:.1f}s)")
+        history.append((epoch, mean_loss))
+        if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
+            path = ckpt.save_train_state(
+                args.out_dir, int(state.step), state.params, state.opt_state,
+                metadata={"epoch": epoch, "regime": args.regime,
+                          "loader": json.dumps(loader.state())})
+            print(f"saved {path}")
+    _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
+    return 0
+
+
+def _attach_epipolar(model, state, batch, args, keys):
+    """Per-batch epipolar mask from the model's current prediction
+    (train_fundamental.py:435-500), computed on device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from opticalflow_tpu.geometry.epipolar import build_epipolar_mask
+    from opticalflow_tpu.train.losses import _flow_to_image_res
+
+    images = jnp.asarray(batch["images"])
+    h, w = images.shape[1:3]
+    flow2 = model.apply({"params": state.params}, images) * args.flow_scale
+    full = _flow_to_image_res(flow2, h, w)
+    kidx = int(jax.random.randint(keys[0], (), 0, len(keys)))
+    masks = jax.vmap(lambda f, k: build_epipolar_mask(
+        f, k, tau=args.epi_tau, stride=args.epi_stride))(
+            full, keys[kidx:kidx + full.shape[0]])
+    batch = dict(batch)
+    batch["photo_mask"] = np.asarray(masks.astype(jnp.float32))
+    return batch
+
+
+def _plot_history(history, path):
+    if not history:
+        return
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        ep, losses = zip(*history)
+        plt.figure(figsize=(6, 4))
+        plt.plot(ep, losses, marker="o")
+        plt.xlabel("epoch")
+        plt.ylabel("loss")
+        plt.grid(True, alpha=0.3)
+        plt.tight_layout()
+        plt.savefig(path)
+        plt.close()
+    except Exception as e:  # viz must never kill a training run
+        print(f"loss-curve plot skipped: {e}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""Batched, prefetching data loader with deterministic resume.
+
+Replaces torch ``DataLoader(num_workers, pin_memory)`` (the reference's only
+host parallelism, ``train.py:119-122``) with a thread-pool sample fetcher and
+a background batch-assembly thread feeding a bounded ring buffer; batches are
+optionally ``jax.device_put`` ahead of use so host decode overlaps device
+compute (the double-buffering SURVEY.md §2.9 calls for).
+
+Determinism: sample order is a per-epoch permutation from a counter-based
+seed, and ``state()``/``restore()`` capture (epoch, position) — the
+data-iterator state capture the reference lacks (SURVEY.md §5 failure
+recovery row).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["Loader"]
+
+
+def _collate(samples):
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class Loader:
+    """Iterate dicts of stacked numpy arrays over an indexable dataset.
+
+    Datasets exposing ``get(idx, epoch)`` (deterministic augmentation) are
+    used that way; plain ``__getitem__`` otherwise.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0,
+                 device_put: bool = False, sharding=None):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.device_put = device_put
+        self.sharding = sharding
+        self.epoch = 0
+        self._start_batch = 0
+
+    # ------------------------------------------------------------ state
+    def state(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "batch": self._start_batch,
+                "seed": self.seed}
+
+    def restore(self, state: Dict[str, int]) -> None:
+        self.epoch = int(state["epoch"])
+        self._start_batch = int(state["batch"])
+        self.seed = int(state.get("seed", self.seed))
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.batch_size
+        if not self.drop_last and len(self.ds) % self.batch_size:
+            n += 1
+        return n
+
+    # --------------------------------------------------------- iteration
+    def _order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        return idx
+
+    def _fetch(self, idx: int, epoch: int):
+        if hasattr(self.ds, "get"):
+            return self.ds.get(int(idx), epoch=epoch)
+        return self.ds[int(idx)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self.epoch
+        order = self._order(epoch)
+        nb = len(self)
+        start = self._start_batch
+        self._start_batch = 0  # a restored offset applies to one epoch only
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(start, nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    ids = order[lo:lo + self.batch_size]
+                    samples = list(pool.map(
+                        lambda i: self._fetch(i, epoch), ids))
+                    batch = _collate(samples)
+                    if self.device_put:
+                        import jax
+                        batch = {
+                            k: (jax.device_put(v, self.sharding)
+                                if isinstance(v, np.ndarray) else v)
+                            for k, v in batch.items()}
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                self._start_batch += 1
+                yield batch
+        finally:
+            stop.set()
+        self.epoch = epoch + 1
+        self._start_batch = 0

@@ -1,0 +1,81 @@
+"""Dataset evaluation runners: KITTI (EPE + Fl-all) and Sintel (EPE).
+
+Mirrors ``inference_kitti.py:227-263`` (pad-to-/64, finest flow, upsample to
+GT size, nanmean summaries) and the Sintel benchmark config from README:36
+(clean 1.83 / final 2.31 for the canonical weights).
+
+TPU-native difference: evaluation batches pairs of identical padded shape
+through one jitted program instead of a per-pair batch-1 Python loop, and
+the flow upsampling runs on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from opticalflow_tpu.utils import metrics as M
+
+__all__ = ["evaluate_pairs", "evaluate_kitti", "evaluate_sintel"]
+
+
+def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
+                   save_dir: Optional[str] = None,
+                   limit: Optional[int] = None,
+                   verbose: bool = True) -> Dict[str, float]:
+    """Evaluate any dataset yielding {im1, im2, stem[, flow[, valid]]}.
+
+    Returns {"epe": mean, "fl_all": mean%} (NaN-mean over pairs, like the
+    reference)."""
+    epes, fls = [], []
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    for i in range(n):
+        s = dataset[i]
+        flow = engine.flow_from_pair(s["im1"], s["im2"], preset=preset,
+                                     size_mode="pad")
+        if save_dir:
+            import os
+            from opticalflow_tpu.io.kitti import write_flow_png
+            os.makedirs(save_dir, exist_ok=True)
+            write_flow_png(
+                os.path.join(save_dir, f"{s['stem'].replace('/', '_')}.png"),
+                flow)
+        if "flow" in s:
+            valid = s.get("valid")
+            e = M.epe(flow, s["flow"], valid)
+            f = M.fl_all(flow, s["flow"], valid)
+            epes.append(e)
+            fls.append(f)
+            if verbose:
+                print(f"{s['stem']} | EPE: {e:.3f} | Fl-all: {f:.2f}%")
+    out = {
+        "epe": float(np.nanmean(epes)) if epes else float("nan"),
+        "fl_all": float(np.nanmean(fls)) if fls else float("nan"),
+        "num_pairs": n,
+    }
+    if verbose:
+        print("=" * 60)
+        print(f"Mean EPE:    {out['epe']:.3f}")
+        print(f"Mean Fl-all: {out['fl_all']:.2f}%")
+    return out
+
+
+def evaluate_kitti(engine, root: str, *, year: int = 2015,
+                   flow_kind: str = "flow_occ", preset: str = "rgb_imagenet",
+                   save_dir: Optional[str] = None,
+                   limit: Optional[int] = None) -> Dict[str, float]:
+    """KITTI sparse-GT evaluation (1242×375, replicate-pad to /64)."""
+    from opticalflow_tpu.data.datasets import KittiPairsEval
+    ds = KittiPairsEval(root, year=year, flow_kind=flow_kind)
+    return evaluate_pairs(engine, ds, preset=preset, save_dir=save_dir,
+                          limit=limit)
+
+
+def evaluate_sintel(engine, root: str, *, render: str = "clean",
+                    preset: str = "bgr_unit",
+                    limit: Optional[int] = None) -> Dict[str, float]:
+    """MPI-Sintel clean/final EPE over the training split (dense GT)."""
+    from opticalflow_tpu.data.datasets import SintelPairs
+    ds = SintelPairs(root, render=render)
+    return evaluate_pairs(engine, ds, preset=preset, limit=limit)

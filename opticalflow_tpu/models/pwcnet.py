@@ -58,9 +58,13 @@ _WARP_SCALES = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-def _prec(dtype):
-    """float32 compute gets exact accumulation; bf16 rides the fast MXU path."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+def _prec(dtype, mode: str = "highest"):
+    """Conv precision policy: "highest" float32 compute gets exact multi-pass
+    accumulation (checkpoint-fidelity parity); "fast" or bf16 compute rides
+    the single-pass MXU path (training / throughput)."""
+    if mode == "fast" or dtype != jnp.float32:
+        return None
+    return jax.lax.Precision.HIGHEST
 
 
 class ConvLR(nn.Module):
@@ -71,6 +75,7 @@ class ConvLR(nn.Module):
     padding: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -82,13 +87,15 @@ class ConvLR(nn.Module):
                        jnp.float32)
         y = conv2d(x.astype(self.dtype), k.astype(self.dtype), b,
                    stride=self.stride, padding=self.padding,
-                   dilation=self.dilation, precision=_prec(self.dtype))
+                   dilation=self.dilation,
+                   precision=_prec(self.dtype, self.precision))
         return leaky_relu(y).astype(self.dtype)
 
 
 class PredictFlow(nn.Module):
     """3×3 conv to 2 channels, no activation (reference ``predict_flow``)."""
     dtype: Any = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -96,7 +103,7 @@ class PredictFlow(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (2,), jnp.float32)
         # flow heads stay float32: flow magnitudes feed warps and losses.
         return conv2d(x.astype(jnp.float32), k, b, stride=1, padding=1,
-                      precision=_prec(self.dtype))
+                      precision=_prec(self.dtype, self.precision))
 
 
 class Deconv(nn.Module):
@@ -108,6 +115,7 @@ class Deconv(nn.Module):
     """
     features: int
     dtype: Any = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -116,7 +124,8 @@ class Deconv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         return deconv2d(x.astype(jnp.float32), k, b,
-                        precision=_prec(self.dtype)).astype(jnp.float32)
+                        precision=_prec(self.dtype,
+                                        self.precision)).astype(jnp.float32)
 
 
 class PWCDCNet(nn.Module):
@@ -131,6 +140,9 @@ class PWCDCNet(nn.Module):
     md: int = 4
     variant: str = "new"  # "new" = PWCDCNet, "old" = PWCDCNet_old
     dtype: Any = jnp.float32
+    # "highest": exact f32 conv accumulation (checkpoint parity);
+    # "fast": backend-default single-pass math (training / throughput).
+    precision: str = "highest"
     use_pallas_corr: bool = True
 
     def _corr(self, a, b):
@@ -152,7 +164,8 @@ class PWCDCNet(nn.Module):
         else:
             conv_first = (False, True, False, False, False)
         for i, (feats, cf) in enumerate(zip(ESTIMATOR_CHANNELS, conv_first)):
-            y = ConvLR(feats, dtype=self.dtype, name=f"conv{level}_{i}")(x)
+            y = ConvLR(feats, dtype=self.dtype, precision=self.precision,
+                       name=f"conv{level}_{i}")(x)
             x = jnp.concatenate((y, x) if cf else (x, y), axis=-1)
         return x
 
@@ -171,7 +184,8 @@ class PWCDCNet(nn.Module):
                 names = [f"conv{lvl}a", f"conv{lvl}b"]
                 strides = (2, 1)
             for name, s in zip(names, strides):
-                x = ConvLR(ch, stride=s, dtype=self.dtype, name=name)(x)
+                x = ConvLR(ch, stride=s, dtype=self.dtype,
+                           precision=self.precision, name=name)(x)
             feats.append(x)
         return feats
 
@@ -207,11 +221,16 @@ class PWCDCNet(nn.Module):
                     [corr, c1[lvl], up_flow.astype(self.dtype),
                      up_feat.astype(self.dtype)], axis=-1)
             xfeat = self._dense_block(xin, lvl)
-            flow = PredictFlow(name=f"predict_flow{lvl}")(xfeat)
+            flow = PredictFlow(dtype=self.dtype, precision=self.precision,
+                               name=f"predict_flow{lvl}")(xfeat)
             flows[lvl] = flow
             if lvl > 2:
-                up_flow = Deconv(2, name=f"deconv{lvl}")(flow)
-                up_feat = Deconv(2, name=f"upfeat{lvl}")(xfeat)
+                up_flow = Deconv(2, dtype=self.dtype,
+                                 precision=self.precision,
+                                 name=f"deconv{lvl}")(flow)
+                up_feat = Deconv(2, dtype=self.dtype,
+                                 precision=self.precision,
+                                 name=f"upfeat{lvl}")(xfeat)
 
         # Context network: 7 dilated convs, residual added to flow2
         # (reference models/PWCNet.py:126-132, :267-268).
@@ -219,8 +238,10 @@ class PWCDCNet(nn.Module):
         dc_specs = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
         for i, (feats_n, dil) in enumerate(dc_specs, start=1):
             dc = ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
-                        name=f"dc_conv{i}")(dc)
-        flows[2] = flows[2] + PredictFlow(name="dc_conv7")(dc)
+                        precision=self.precision, name=f"dc_conv{i}")(dc)
+        flows[2] = flows[2] + PredictFlow(dtype=self.dtype,
+                                          precision=self.precision,
+                                          name="dc_conv7")(dc)
 
         if train:
             return tuple(flows[l] for l in (2, 3, 4, 5, 6))

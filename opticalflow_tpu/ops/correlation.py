@@ -112,7 +112,7 @@ def correlation(f1: jax.Array, f2: jax.Array, *,
            and pad_size == max_displacement)
     if use_pallas and hot:
         from opticalflow_tpu.ops import pallas_corr
-        if pallas_corr.supported(f1):
+        if pallas_corr.supported(f1, max_displacement):
             return pallas_corr.correlation_pallas(
                 f1, f2, max_displacement=max_displacement)
     return correlation_lax(

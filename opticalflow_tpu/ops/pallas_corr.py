@@ -1,21 +1,201 @@
 """Pallas TPU kernel for the PWC-Net correlation cost volume.
 
-Hot configuration only (kernel_size=1, stride1=stride2=1, pad==md): the one
-the reference instantiates (``models/PWCNet.py:71``).  Falls back to the lax
-implementation elsewhere.  Implemented in a later milestone; ``supported``
-gates dispatch in :mod:`opticalflow_tpu.ops.correlation`.
+The TPU-native replacement for the reference's CUDA extension
+(``correlation_cuda_kernel.cu:73-147``), specialized to the hot
+configuration the model instantiates (kernel_size=1, stride1=stride2=1,
+pad_size=max_displacement — ``models/PWCNet.py:71``).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+  * grid = (batch, row-tiles).  f1 row-tiles and output tiles stream through
+    VMEM via BlockSpec; the md-padded f2 rides along as a *full-image* VMEM
+    block with a constant index map — Pallas keeps it resident across the
+    row-tile loop, so each image is fetched from HBM exactly once (the
+    overlapping halo windows that BlockSpecs cannot express are just reads
+    at a dynamic row offset into that resident block);
+  * for each of the (2·md+1)² static displacements the kernel does one
+    elementwise multiply + lane-reduction over channels (VPU work — the
+    cost volume is far too thin for the MXU to pay off), then stores all
+    maps as one NHWC tile;
+  * accumulation is float32 regardless of input dtype (matching the CUDA
+    kernel's fp32 accumulate-then-divide, ``:112-143``);
+  * HBM traffic win vs the unrolled lax fallback: f1/f2 are read once
+    instead of once per displacement (81×).
+
+Images whose padded f2 level exceeds the VMEM budget fall back to the lax
+path via :func:`supported`.
+
+The op is wrapped in ``jax.custom_vjp``; the backward pass is expressed in
+pure lax as two correlation-like gather sums (no scatters — SURVEY.md §7
+"hard parts"), matching the CUDA backward kernels' math
+(``correlation_cuda_kernel.cu:150-334``):
+
+    ∂f1[y,x,c] = Σ_d g[y,x,d] · f2[y+tj_d, x+ti_d, c]
+    ∂f2[y,x,c] = Σ_d g[y−tj_d, x−ti_d, d] · f1[y−tj_d, x−ti_d, c]
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 
 __all__ = ["supported", "correlation_pallas"]
 
-
-def supported(x: jax.Array) -> bool:  # pragma: no cover - stub
-    return False
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
-def correlation_pallas(f1, f2, *, max_displacement: int = 4):  # pragma: no cover
-    raise NotImplementedError("Pallas correlation kernel lands in a later milestone")
+
+def _f2_bytes(shape, md: int, itemsize: int) -> int:
+    _, h, w, c = shape
+    # transposed kernel layout (H, C, W): lanes = W (128-aligned at real
+    # levels), sublanes = C (8-aligned); W+2md rounds up to the lane tile
+    wl = -(-(w + 2 * md) // 128) * 128
+    cs = -(-c // 8) * 8
+    return (h + 2 * md) * cs * wl * itemsize
+
+
+def supported(x: jax.Array, md: int = 4) -> bool:
+    """Pallas path availability: TPU backend, f2 level fits in VMEM."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return _f2_bytes(x.shape, md, x.dtype.itemsize) <= 8 * 1024 * 1024
+
+
+def _row_tile(h: int, w: int, c: int, nd2: int, f2_bytes: int,
+              itemsize: int) -> int:
+    """Largest row tile dividing h whose working set fits the budget.
+
+    Mosaic requires block dims to be 8-divisible (sublane tile) or equal to
+    the full array dim, so candidates are h itself and 8-multiples dividing h.
+    """
+    wl = -(-w // 128) * 128
+    cs = -(-c // 8) * 8
+
+    def fits(tile):
+        f1b = tile * cs * wl * itemsize
+        outb = nd2 * tile * wl * 4
+        prodb = 2 * tile * cs * wl * 4  # displacement-product temporaries
+        return f1b + f2_bytes + outb + prodb <= _VMEM_BUDGET
+
+    candidates = [t for t in (64, 56, 48, 40, 32, 24, 16, 8)
+                  if h % t == 0] + [h]
+    for tile in sorted(set(candidates), reverse=True):
+        if (tile % 8 == 0 or tile == h) and fits(tile):
+            return tile
+    return h  # whole-image block; supported() gates oversized inputs
+
+
+def _fwd_kernel(md, th, w, c, f1_ref, f2_ref, out_ref):
+    """One (batch, row-tile) grid step.
+
+    In-kernel layout: f1 (th, C, W), f2 full padded image (H+2md, C, W+2md),
+    out (nd2, th, W) — W rides the lane dimension (128-aligned), C the
+    sublanes, and each displacement map is written to its own untiled
+    leading index, so no 81-wide stack ever materializes.
+    """
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    f1 = f1_ref[0].astype(jnp.float32)                     # (th, c, w)
+    win = f2_ref[0, pl.ds(i * th, th + 2 * md)]            # (th+2md, c, wp)
+
+    inv_c = 1.0 / c
+    nd = 2 * md + 1
+    for ti in range(nd):
+        # one lane-shift per ti, reused across all tj
+        col = win[:, :, ti:ti + w].astype(jnp.float32)     # (th+2md, c, w)
+        for tj in range(nd):
+            sl = col[tj:tj + th]
+            out_ref[0, tj * nd + ti] = (
+                jnp.sum(f1 * sl, axis=1) * inv_c).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def correlation_pallas(f1: jax.Array, f2: jax.Array,
+                       max_displacement: int = 4) -> jax.Array:
+    return _corr_fwd_impl(f1, f2, max_displacement)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
+                   interpret: bool = False) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = f1.shape
+    nd2 = (2 * md + 1) ** 2
+    f2b = _f2_bytes(f1.shape, md, f1.dtype.itemsize)
+    th = _row_tile(h, w, c, nd2, f2b, f1.dtype.itemsize)
+
+    # NHWC -> (B, H, C, W): W on lanes, C on sublanes
+    f1t = jnp.transpose(f1, (0, 1, 3, 2))
+    f2t = jnp.transpose(f2, (0, 1, 3, 2))
+    f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, 0), (md, md)))
+    hp, wp = h + 2 * md, w + 2 * md
+    kernel = functools.partial(_fwd_kernel, md, th, w, c)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, c, w), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, c, wp), lambda bb, ii: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nd2, th, w),
+                               lambda bb, ii: (bb, 0, ii, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nd2, h, w), jnp.float32),
+        interpret=interpret,
+    )(f1t, f2p)
+    return jnp.transpose(out, (0, 2, 3, 1))  # -> NHWC cost volume
+
+
+def _corr_bwd_lax(md: int, f1: jax.Array, f2: jax.Array,
+                  g: jax.Array):
+    """Gather-style backward (no scatters), float32 accumulation."""
+    b, h, w, c = f1.shape
+    inv_c = 1.0 / c
+    pad = ((0, 0), (md, md), (md, md), (0, 0))
+    f1f = f1.astype(jnp.float32)
+    f2f = f2.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    f2p = jnp.pad(f2f, pad)
+    f1p = jnp.pad(f1f, pad)
+    gp = jnp.pad(gf, pad)
+    d1 = jnp.zeros_like(f1f)
+    d2 = jnp.zeros_like(f2f)
+    k = 0
+    for tj in range(-md, md + 1):
+        for ti in range(-md, md + 1):
+            f2s = jax.lax.slice(
+                f2p, (0, md + tj, md + ti, 0),
+                (b, md + tj + h, md + ti + w, c))
+            d1 = d1 + gf[..., k:k + 1] * f2s
+            gshift = jax.lax.slice(
+                gp, (0, md - tj, md - ti, k),
+                (b, md - tj + h, md - ti + w, k + 1))
+            f1shift = jax.lax.slice(
+                f1p, (0, md - tj, md - ti, 0),
+                (b, md - tj + h, md - ti + w, c))
+            d2 = d2 + gshift * f1shift
+            k += 1
+    return (d1 * inv_c).astype(f1.dtype), (d2 * inv_c).astype(f2.dtype)
+
+
+def _corr_vjp_fwd(f1, f2, md):
+    return _corr_fwd_impl(f1, f2, md), (f1, f2)
+
+
+def _corr_vjp_bwd(md, res, g):
+    f1, f2 = res
+    return _corr_bwd_lax(md, f1, f2, g)
+
+
+correlation_pallas.defvjp(_corr_vjp_fwd, _corr_vjp_bwd)

@@ -41,17 +41,35 @@ def _ac_true_1d(x: jax.Array, new_size: int, axis: int) -> jax.Array:
     return a * (1.0 - frac) + b * frac
 
 
+def _half_pixel_1d(x: jax.Array, new_size: int, axis: int) -> jax.Array:
+    """align_corners=False (half-pixel) bilinear resize along one axis,
+    *without* antialiasing — matching torch ``F.interpolate`` and
+    ``cv2.resize(INTER_LINEAR)`` for both up- and downsampling (NB:
+    ``jax.image.resize`` antialiases on downsample, which torch does not)."""
+    old = x.shape[axis]
+    if old == new_size:
+        return x
+    pos = (jnp.arange(new_size, dtype=jnp.float32) + 0.5) * (old / new_size) - 0.5
+    pos = jnp.clip(pos, 0.0, float(old - 1))
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(old - 2, 0))
+    frac = pos - i0.astype(jnp.float32)
+    a = jnp.take(x, i0, axis=axis)
+    b = jnp.take(x, jnp.minimum(i0 + 1, old - 1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = new_size
+    frac = frac.reshape(shape)
+    return a * (1.0 - frac) + b * frac
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "align_corners"))
 def resize_bilinear(x: jax.Array, height: int, width: int,
                     align_corners: bool = False) -> jax.Array:
     """Bilinear resize of (..., H, W, C) to (height, width)."""
     if x.shape[-3] == height and x.shape[-2] == width:
         return x
-    if align_corners:
-        x = _ac_true_1d(x, height, x.ndim - 3)
-        return _ac_true_1d(x, width, x.ndim - 2)
-    new_shape = x.shape[:-3] + (height, width) + x.shape[-1:]
-    return jax.image.resize(x, new_shape, method="linear")
+    fn = _ac_true_1d if align_corners else _half_pixel_1d
+    x = fn(x, height, x.ndim - 3)
+    return fn(x, width, x.ndim - 2)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))

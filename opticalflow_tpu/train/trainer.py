@@ -1,0 +1,186 @@
+"""Data-parallel training: optimizers, train state, and the jitted step.
+
+Covers the reference's four training regimes (SURVEY.md §2.5) behind one
+``TrainConfig``:
+
+  * ``loss="charbonnier_full"`` — supervised fine-tune: upsample flow2 to the
+    full-res GT and apply masked Charbonnier (``train.py:54-87``);
+  * ``loss="multiscale"`` — per-level supervised loss, weights
+    [0.32, 0.08, 0.02, 0.01, 0.005] (+optional photometric/smoothness
+    regularizers) (``train2.py:124-200``);
+  * ``loss="proxy"`` — self-supervised SSIM+L1 photometric + smoothness
+    (``train_pseudo.py:65-164``);
+  * ``loss="proxy_epipolar"`` — proxy loss masked by a per-sample epipolar
+    inlier mask, + optional soft Sampson penalty
+    (``train_fundamental.py:435-500``).
+
+TPU-first design: one jitted step with batch sharded over the mesh's
+``data`` axis and params replicated — XLA emits the gradient ``psum`` over
+ICI (the reference is single-GPU with no distributed layer).  The step
+donates the train state, keeps optimizer math in float32, and optionally
+runs the network in bfloat16 (the reference's AMP analogue,
+``train.py:66-79``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from opticalflow_tpu.ops.resize import upsample_flow_to
+from opticalflow_tpu.parallel import mesh as meshlib
+from opticalflow_tpu.train import losses as L
+
+__all__ = ["TrainConfig", "TrainState", "make_optimizer", "make_train_step",
+           "create_train_state", "make_eval_metrics_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Single config tree replacing the reference's per-script argparse +
+    hard-coded dicts (SURVEY.md §5 'Config / flag system')."""
+    loss: str = "multiscale"           # charbonnier_full | multiscale | proxy | proxy_epipolar
+    optimizer: str = "adamw"           # adam | adamw
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0             # 0 disables (train2.py grad-clip 1.0)
+    multiscale_weights: Tuple[float, ...] = L.MULTISCALE_WEIGHTS
+    lambda_photo: float = 0.0
+    lambda_smooth: float = 0.0
+    alpha_photo: float = 1.0           # proxy loss weights (train_pseudo)
+    alpha_smooth: float = 0.1
+    epi_soft_weight: float = 0.0       # soft Sampson penalty weight
+    # flow2 is in /20 units for the canonical weights; GT-space checkpoints
+    # (the reference's own fine-tunes) use 1.0.
+    flow_scale: float = 1.0
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        tx = optax.adam(cfg.lr)
+    elif cfg.optimizer == "adamw":
+        tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def create_train_state(model, rng, cfg: TrainConfig,
+                       sample_shape=(1, 64, 64, 6),
+                       params=None) -> Tuple[TrainState, optax.GradientTransformation]:
+    if params is None:
+        params = model.init(rng, jnp.zeros(sample_shape, jnp.float32),
+                            train=True)["params"]
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    return state, tx
+
+
+def _compute_loss(model, params, batch: Dict[str, jax.Array],
+                  cfg: TrainConfig):
+    """Dispatch to the configured loss; returns (loss, metrics dict)."""
+    x = batch["images"]
+    preds = model.apply({"params": params}, x, train=True)
+    flow2 = preds[0] * cfg.flow_scale
+    metrics = {}
+
+    if cfg.loss == "charbonnier_full":
+        gt, valid = batch["flow"], batch["valid"]
+        h, w = gt.shape[-3], gt.shape[-2]
+        pred_full = upsample_flow_to(flow2, h, w)
+        loss = L.charbonnier_epe(pred_full, gt, valid)
+        metrics["epe"] = L.epe_loss(pred_full, gt, valid)
+    elif cfg.loss == "multiscale":
+        gt, valid = batch["flow"], batch["valid"]
+        scaled = tuple(p * cfg.flow_scale for p in preds)
+        loss = L.multiscale_supervised_loss(
+            scaled, gt, valid, weights=cfg.multiscale_weights,
+            images=x, lambda_photo=cfg.lambda_photo,
+            lambda_smooth=cfg.lambda_smooth)
+        h, w = gt.shape[-3], gt.shape[-2]
+        metrics["epe"] = L.epe_loss(upsample_flow_to(scaled[0], h, w),
+                                    gt, valid)
+    elif cfg.loss in ("proxy", "proxy_epipolar"):
+        im1, im2 = x[..., :3], x[..., 3:]
+        mask = batch.get("photo_mask") if cfg.loss == "proxy_epipolar" else None
+        loss, photo, smooth = L.proxy_label_loss(
+            flow2, im1, im2, alpha_photo=cfg.alpha_photo,
+            alpha_smooth=cfg.alpha_smooth, photo_mask=mask)
+        metrics["photo"] = photo
+        metrics["smooth"] = smooth
+        if cfg.loss == "proxy_epipolar" and cfg.epi_soft_weight > 0:
+            from opticalflow_tpu.geometry.epipolar import sampson_penalty
+            pen = sampson_penalty(flow2, batch["fundamental"])
+            loss = loss + cfg.epi_soft_weight * pen
+            metrics["sampson"] = pen
+    else:
+        raise ValueError(f"unknown loss {cfg.loss!r}")
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    cfg: TrainConfig,
+                    mesh: Optional[jax.sharding.Mesh] = None) -> Callable:
+    """Build the jitted train step.
+
+    With a mesh, the batch is sharded over the ``data`` axis and the state
+    replicated; XLA inserts the ICI gradient all-reduce.  The state argument
+    is donated (in-place update, no HBM copy).
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        def loss_fn(p):
+            return _compute_loss(model, p, batch, cfg)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = meshlib.replicated(mesh)
+    data = meshlib.batch_sharding(mesh)
+    batch_shardings = data
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_metrics_step(model, cfg: TrainConfig,
+                           mesh: Optional[jax.sharding.Mesh] = None):
+    """Jitted validation step returning the loss metrics without updating."""
+
+    def step(params, batch):
+        _, metrics = _compute_loss(model, params, batch, cfg)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = meshlib.replicated(mesh)
+    return jax.jit(step, in_shardings=(repl, meshlib.batch_sharding(mesh)),
+                   out_shardings=repl)

@@ -1,0 +1,157 @@
+"""Streaming video → flow pipeline with host-decode / device-compute overlap.
+
+Replaces the reference's fully serial loop (``pwc_extract_flow_video.py:219-
+308``: decode → H2D → forward → D2H → draw → encode one pair at a time) with
+a pipelined runner:
+
+  * a decode thread fills a frame queue (cv2.VideoCapture stays on host);
+  * frames are batched into (B, H64, W64, 6) uint8 pair tensors — consecutive
+    pairs share frames, so each frame is decoded once;
+  * preprocessing (/255, channel order, optional ImageNet norm) runs *inside*
+    the jitted program on device;
+  * JAX's async dispatch keeps ``depth`` batches in flight: the host draws
+    overlays for batch k while the TPU computes batch k+1;
+  * the device returns quarter-resolution flow (16× less D2H traffic); the
+    overlay helpers rescale vectors on host exactly like the reference's
+    ``create_quiver_frame`` resize.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.models.pwcnet import PWCDCNet
+
+__all__ = ["VideoFlowRunner", "frame_pairs_from_video"]
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def frame_pairs_from_video(path: str, max_frames: Optional[int] = None,
+                           stride: int = 1) -> Iterator[np.ndarray]:
+    """Yield BGR frames from a video file (decode thread feeds a queue)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video {path}")
+    q: "queue.Queue" = queue.Queue(maxsize=64)
+
+    def decode():
+        n = 0
+        while max_frames is None or n < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if n % stride == 0:
+                q.put(frame)
+            n += 1
+        cap.release()
+        q.put(None)
+
+    threading.Thread(target=decode, daemon=True).start()
+    while True:
+        f = q.get()
+        if f is None:
+            return
+        yield f
+
+
+class VideoFlowRunner:
+    """Batched streaming flow over consecutive frame pairs.
+
+    Args:
+      model/params: the network (flow in network units).
+      preset: "rgb_unit" (video drivers' convention,
+        ``pwc_extract_flow_video.py:27-34``), "bgr_unit", or "rgb_imagenet".
+      flow_scale: 1.0 for the repo's self-trained checkpoints, 20.0 for the
+        canonical Sintel weights.
+      batch: frame pairs per device step.  depth: in-flight batches.
+    """
+
+    def __init__(self, model: PWCDCNet, params, *, preset: str = "rgb_unit",
+                 flow_scale: float = 1.0, batch: int = 4, depth: int = 2):
+        self.model = model
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.preset = preset
+        self.flow_scale = float(flow_scale)
+        self.batch = batch
+        self.depth = depth
+
+        mean = jnp.asarray(_IMAGENET_MEAN)
+        std = jnp.asarray(_IMAGENET_STD)
+        scale = self.flow_scale
+
+        @jax.jit
+        def step(params, pairs_u8):
+            x = pairs_u8.astype(jnp.float32) / 255.0
+            if preset == "bgr_unit":
+                x = jnp.concatenate([x[..., 2::-1], x[..., :2:-1]], axis=-1)
+            elif preset == "rgb_imagenet":
+                x = jnp.concatenate(
+                    [(x[..., :3] - mean) / std, (x[..., 3:] - mean) / std],
+                    axis=-1)
+            return self.model.apply({"params": params}, x) * scale
+
+        self._step = step
+
+    def _pad(self, frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape[:2]
+        ph, pw = (64 - h % 64) % 64, (64 - w % 64) % 64
+        if ph or pw:
+            frame = np.pad(frame, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        return frame
+
+    def run(self, frames: Iterator[np.ndarray],
+            channel_order: str = "bgr") -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (frame_bgr, quarter_flow) per consecutive pair.
+
+        ``quarter_flow`` is (H64/4, W64/4, 2) in pixel units at that scale —
+        pass through ``viz.overlay.resize_flow_np`` (done by the overlay
+        helpers) to draw at frame resolution.
+        """
+        inflight = collections.deque()
+        buf = []          # frames in the current batch window
+        metas = []        # original frames for overlay
+        prev = None
+
+        def submit():
+            nonlocal buf, metas
+            if not buf:
+                return
+            n_real = len(buf)
+            # pad a final partial batch up to the compiled batch size: one
+            # XLA program for the whole stream instead of a second compile
+            while len(buf) < self.batch:
+                buf.append(buf[-1])
+            arr = np.stack(buf)  # (B, H64, W64, 6) uint8
+            out = self._step(self.params, jnp.asarray(arr))
+            inflight.append((out[:n_real], metas))
+            buf, metas = [], []
+
+        for frame in frames:
+            rgb = frame[..., ::-1] if channel_order == "bgr" else frame
+            if prev is not None:
+                pair = np.concatenate(
+                    [self._pad(prev[0]), self._pad(rgb)], axis=-1)
+                buf.append(pair)
+                metas.append(prev[1])
+                if len(buf) == self.batch:
+                    submit()
+            prev = (rgb, frame)
+            while len(inflight) > self.depth:
+                out, ms = inflight.popleft()
+                for k, m in enumerate(ms):
+                    yield m, np.asarray(out[k])
+        submit()
+        while inflight:
+            out, ms = inflight.popleft()
+            for k, m in enumerate(ms):
+                yield m, np.asarray(out[k])

@@ -1,0 +1,53 @@
+"""Pallas correlation kernel vs the lax oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.ops.correlation import correlation_lax
+from opticalflow_tpu.ops.pallas_corr import (_corr_fwd_impl, _corr_bwd_lax,
+                                             correlation_pallas)
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("shape", [(1, 8, 16, 4), (2, 16, 24, 7)])
+def test_pallas_forward_matches_lax(shape):
+    f1 = jnp.asarray(_rand(shape, 1))
+    f2 = jnp.asarray(_rand(shape, 2))
+    ref = correlation_lax(f1, f2, pad_size=4, max_displacement=4)
+    out = _corr_fwd_impl(f1, f2, 4, True)  # interpret mode
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_forward_bf16_inputs():
+    f1 = jnp.asarray(_rand((1, 8, 16, 4), 3)).astype(jnp.bfloat16)
+    f2 = jnp.asarray(_rand((1, 8, 16, 4), 4)).astype(jnp.bfloat16)
+    out = _corr_fwd_impl(f1, f2, 4, True)
+    assert out.dtype == jnp.float32  # f32 accumulation like the CUDA kernel
+    ref = correlation_lax(f1.astype(jnp.float32), f2.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_custom_vjp_matches_lax_grad():
+    shape = (1, 8, 12, 3)
+    f1 = jnp.asarray(_rand(shape, 5))
+    f2 = jnp.asarray(_rand(shape, 6))
+    g = jnp.asarray(_rand((1, 8, 12, 81), 7))
+
+    d1, d2 = _corr_bwd_lax(4, f1, f2, g)
+
+    def loss_ref(a, b):
+        return jnp.sum(correlation_lax(a, b) * g)
+
+    r1, r2 = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2),
+                               atol=1e-5, rtol=1e-5)

@@ -1,0 +1,122 @@
+"""Training-step tests: losses decrease, sharded multi-device step runs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.models.pwcnet import PWCDCNet
+from opticalflow_tpu.parallel import mesh as meshlib
+from opticalflow_tpu.train.trainer import (TrainConfig, create_train_state,
+                                           make_train_step,
+                                           make_eval_metrics_step)
+from opticalflow_tpu.train import losses as L
+
+
+def _batch(b=2, h=64, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "images": rng.rand(b, h, w, 6).astype(np.float32),
+        "flow": (rng.randn(b, h, w, 2) * 2).astype(np.float32),
+        "valid": (rng.rand(b, h, w) > 0.2).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+
+
+def test_multiscale_train_step_decreases_loss(tiny_model):
+    cfg = TrainConfig(loss="multiscale", lr=1e-4)
+    state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(tiny_model, tx, cfg)
+    batch = _batch()
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 12
+    assert np.isfinite(losses).all()
+    # overfitting one batch must reduce the loss (allowing Adam warm-up)
+    assert min(losses[-3:]) < losses[0]
+
+
+def test_charbonnier_full_step_runs(tiny_model):
+    cfg = TrainConfig(loss="charbonnier_full", optimizer="adam",
+                      grad_clip=0.0)
+    state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(tiny_model, tx, cfg)
+    state, metrics = step(state, _batch())
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["epe"]))
+
+
+def test_proxy_step_runs(tiny_model):
+    cfg = TrainConfig(loss="proxy")
+    state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(tiny_model, tx, cfg)
+    batch = {"images": _batch()["images"]}
+    state, metrics = step(state, batch)
+    for k in ("loss", "photo", "smooth"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_sharded_step_matches_single_device(tiny_model):
+    """The 8-device data-parallel step must produce the same update as the
+    unsharded one (XLA psum == serial gradient)."""
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    cfg = TrainConfig(loss="multiscale", lr=1e-3)
+    batch = _batch(b=8)
+
+    state1, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step1 = make_train_step(tiny_model, tx, cfg)
+    state1, m1 = step1(state1, batch)
+
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    state8, tx8 = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step8 = make_train_step(tiny_model, tx8, cfg, mesh=mesh)
+    state8 = jax.device_put(state8, meshlib.replicated(mesh))
+    state8, m8 = step8(state8, meshlib.shard_batch(batch, mesh))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_eval_metrics_step(tiny_model):
+    cfg = TrainConfig(loss="multiscale")
+    state, _ = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    eval_step = make_eval_metrics_step(tiny_model, cfg)
+    metrics = eval_step(state.params, _batch())
+    assert np.isfinite(float(metrics["epe"]))
+
+
+def test_multiscale_loss_matches_torch_semantics():
+    """Weights and GT rescale follow train2.py:124-167."""
+    rng = np.random.RandomState(1)
+    gt = rng.randn(1, 32, 32, 2).astype(np.float32)
+    valid = np.ones((1, 32, 32), np.float32)
+    preds = [jnp.asarray(rng.randn(1, 32 // s, 32 // s, 2).astype(np.float32))
+             for s in (1, 2, 4)]
+    total = L.multiscale_supervised_loss(preds, jnp.asarray(gt),
+                                         jnp.asarray(valid))
+
+    import torch
+    import torch.nn.functional as F
+    expected = 0.0
+    for i, (pred, wgt) in enumerate(zip(preds, (0.32, 0.08, 0.02))):
+        p = torch.from_numpy(np.asarray(pred)).permute(0, 3, 1, 2)
+        g = torch.from_numpy(gt).permute(0, 3, 1, 2)
+        h, w = p.shape[-2:]
+        gs = F.interpolate(g, size=(h, w), mode="bilinear",
+                           align_corners=False)
+        gs[:, 0] /= 32.0 / w
+        gs[:, 1] /= 32.0 / h
+        epe = torch.sqrt(((p - gs) ** 2).sum(1) + 1e-6)
+        expected += wgt * epe.mean().item()
+    assert float(total) == pytest.approx(expected, rel=1e-4)
