@@ -1,8 +1,13 @@
 """Headline benchmark: Sintel-resolution frame-pairs/sec/chip.
 
-Measures sustained inference throughput of the full jit pipeline (forward +
-×20 descale) at Sintel 436×1024 padded to 448×1024, the BASELINE.json
-north-star config (target ≥200 frame-pairs/sec/chip on TPU v5e).
+Measures sustained inference throughput of the full forward (bf16 compute,
+f32 flow heads/accumulation) at Sintel 436×1024 padded to 448×1024 — the
+BASELINE.json north-star config (target ≥200 frame-pairs/sec/chip, v5e).
+
+Methodology: N forwards chained in one on-device ``lax.fori_loop`` with a
+single scalar readback, minus the measured per-call overhead — per-call
+host-side timing is unreliable on relayed/async TPU runtimes (dispatch can
+return before completion, and per-call overhead here is ~30 ms).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -12,50 +17,52 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
 BASELINE_PAIRS_PER_SEC = 200.0  # BASELINE.json north_star
 H, W = 448, 1024                # Sintel 436x1024 padded to /64
+BATCH = 16
+LOOP_N = 20
+REPEATS = 3
 
 
 def main() -> None:
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    except Exception:
-        pass
     import jax.numpy as jnp
     from opticalflow_tpu.models.pwcnet import PWCDCNet, FLOW_SCALE
 
     n_dev = jax.local_device_count()
-    batch = 8 * n_dev
+    batch = BATCH * n_dev
 
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast")
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    x0 = jax.random.uniform(key, (batch, H, W, 6), jnp.float32)
 
     @jax.jit
-    def step(params, x):
-        return model.apply({"params": params}, x) * FLOW_SCALE
+    def bench(p, x):
+        def body(i, acc):
+            out = model.apply({"params": p},
+                              x + i.astype(jnp.float32) * 1e-6)
+            return acc + jnp.mean(out * FLOW_SCALE)
+        return jax.lax.fori_loop(0, LOOP_N, body, 0.0)
 
-    rng = np.random.RandomState(0)
-    xs = [jnp.asarray(rng.rand(batch, H, W, 6).astype(np.float32))
-          for _ in range(2)]
+    @jax.jit
+    def overhead(x):
+        return jnp.mean(x)
 
-    # warmup / compile
-    np.asarray(step(params, xs[0]))
+    float(overhead(x0))
+    float(bench(params, x0))  # compile + warmup
 
-    # NB: this environment's TPU runs behind an async relay where
-    # block_until_ready can return before device completion — force a real
-    # device->host transfer per iteration to time honestly.
-    iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
-        np.asarray(step(params, xs[i % 2]))
-    dt = time.perf_counter() - t0
+    for _ in range(REPEATS):
+        float(overhead(x0))
+    ovh = (time.perf_counter() - t0) / REPEATS
 
-    pairs_per_sec = iters * batch / dt
-    per_chip = pairs_per_sec / n_dev
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        float(bench(params, x0))
+    per_step = ((time.perf_counter() - t0) / REPEATS - ovh) / LOOP_N
+
+    per_chip = batch / per_step / n_dev
     print(json.dumps({
         "metric": "sintel_448x1024_frame_pairs_per_sec_per_chip",
         "value": round(per_chip, 2),

@@ -21,19 +21,22 @@ __all__ = ["evaluate_pairs", "evaluate_kitti", "evaluate_sintel"]
 
 
 def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
+                   size_mode: str = "pad",
                    save_dir: Optional[str] = None,
                    limit: Optional[int] = None,
                    verbose: bool = True) -> Dict[str, float]:
     """Evaluate any dataset yielding {im1, im2, stem[, flow[, valid]]}.
 
-    Returns {"epe": mean, "fl_all": mean%} (NaN-mean over pairs, like the
-    reference)."""
+    ``size_mode``: "pad" replicates ``inference_kitti.py`` (v2, the better
+    pipeline); "resize" replicates the distorting-resize convention of
+    ``inference.py`` (v1) and ``script_pwc.py``.  Returns {"epe": mean,
+    "fl_all": mean%} (NaN-mean over pairs, like the reference)."""
     epes, fls = [], []
     n = len(dataset) if limit is None else min(limit, len(dataset))
     for i in range(n):
         s = dataset[i]
         flow = engine.flow_from_pair(s["im1"], s["im2"], preset=preset,
-                                     size_mode="pad")
+                                     size_mode=size_mode)
         if save_dir:
             import os
             from opticalflow_tpu.io.kitti import write_flow_png

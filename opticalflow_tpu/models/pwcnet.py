@@ -101,8 +101,11 @@ class PredictFlow(nn.Module):
     def __call__(self, x):
         k = self.param("kernel", _kaiming, (3, 3, x.shape[-1], 2), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (2,), jnp.float32)
-        # flow heads stay float32: flow magnitudes feed warps and losses.
-        return conv2d(x.astype(jnp.float32), k, b, stride=1, padding=1,
+        # conv in the compute dtype, accumulate/emit float32
+        # (preferred_element_type) — flow magnitudes feed warps and losses,
+        # but upcasting the whole 500+-channel input would cost a huge copy.
+        return conv2d(x.astype(self.dtype), k.astype(self.dtype), b,
+                      stride=1, padding=1,
                       precision=_prec(self.dtype, self.precision))
 
 
@@ -123,9 +126,8 @@ class Deconv(nn.Module):
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        return deconv2d(x.astype(jnp.float32), k, b,
-                        precision=_prec(self.dtype,
-                                        self.precision)).astype(jnp.float32)
+        return deconv2d(x.astype(self.dtype), k.astype(self.dtype), b,
+                        precision=_prec(self.dtype, self.precision))
 
 
 class PWCDCNet(nn.Module):
@@ -146,8 +148,10 @@ class PWCDCNet(nn.Module):
     use_pallas_corr: bool = True
 
     def _corr(self, a, b):
+        # the kernel accumulates in f32 internally; bf16 inputs ride as-is
+        cd = self.dtype if self.precision == "fast" else jnp.float32
         out = correlation(
-            a.astype(jnp.float32), b.astype(jnp.float32),
+            a.astype(cd), b.astype(cd),
             pad_size=self.md, kernel_size=1, max_displacement=self.md,
             stride1=1, stride2=1, use_pallas=self.use_pallas_corr)
         return leaky_relu(out).astype(self.dtype)

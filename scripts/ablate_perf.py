@@ -10,19 +10,22 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import flax.linen as nn
 
 from opticalflow_tpu.models import pwcnet as P
 from opticalflow_tpu.ops.warp import warp_with_mask
 from opticalflow_tpu.ops.correlation import correlation
+from opticalflow_tpu.models import pwcnet as _pw
 
 
 class AblatedPWC(P.PWCDCNet):
-    """PWCDCNet with correlation and/or warp replaced by shape-preserving
-    stubs, to attribute time."""
+    """PWCDCNet with pieces replaced by shape-preserving stubs."""
     no_corr: bool = False
     no_warp: bool = False
+    no_dense: bool = False
 
     def _corr(self, a, b):
         if self.no_corr:
@@ -30,19 +33,35 @@ class AblatedPWC(P.PWCDCNet):
             return z + 0.01 * jnp.mean(a + b)   # keep inputs alive
         return super()._corr(a, b)
 
+    def _dense_block(self, x, level):
+        if self.no_dense:
+            # one cheap projection to the expected channel count
+            pad = sum(P.ESTIMATOR_CHANNELS)
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(jnp.mean(x, -1, keepdims=True),
+                                     x.shape[:-1] + (pad,))], axis=-1)
+        return super()._dense_block(x, level)
+
 
 def main():
     B, H, W = 4, 448, 1024
     key = jax.random.PRNGKey(0)
     variants = {
         "full_pallas": dict(),
-        "full_laxcorr": dict(use_pallas_corr=False),
-        "no_corr": dict(no_corr=True),
+        "no_warp": dict(no_warp=True),
+        "no_dense": dict(no_dense=True),
+        "no_corr_warp": dict(no_corr=True, no_warp=True),
     }
     base = dict(variant="new", dtype=jnp.bfloat16, precision="fast")
     results = {}
     for name, kw in variants.items():
+        no_warp = kw.pop("no_warp", False)
         model = AblatedPWC(**base, **kw)
+        if no_warp:
+            _pw.warp_with_mask = lambda x, f, mask_threshold=0.9999: (
+                x + 0.01 * jnp.mean(f))
+        else:
+            _pw.warp_with_mask = warp_with_mask
         params = model.init(key, jnp.zeros((1, 64, 64, 6)))["params"]
 
         @jax.jit
@@ -62,31 +81,6 @@ def main():
         print(f"{name:16s} compile {tc:6.1f}s   {dt * 1000:7.1f} ms/batch   "
               f"{B / dt:7.1f} pairs/s", flush=True)
 
-    # warp-only microbench at L2 scale
-    c2 = jax.random.normal(key, (B, 112, 256, 32))
-    fl = jax.random.normal(key, (B, 112, 256, 2)) * 3
-
-    @jax.jit
-    def warp_step(c, f):
-        return jnp.mean(warp_with_mask(c, f))
-
-    float(warp_step(c2, fl))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(warp_step(c2, fl))
-    print(f"warp L2 alone: {(time.perf_counter() - t0) / 10 * 1000:.2f} ms",
-          flush=True)
-
-    @jax.jit
-    def corr_step(c, f):
-        return jnp.mean(correlation(c, f))
-
-    float(corr_step(c2, c2))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(corr_step(c2, c2))
-    print(f"corr L2 alone: {(time.perf_counter() - t0) / 10 * 1000:.2f} ms",
-          flush=True)
 
 
 if __name__ == "__main__":
