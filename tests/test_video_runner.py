@@ -1,0 +1,75 @@
+"""Video runner logic (pairing, batching, padding) with a stub model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from opticalflow_tpu.video import VideoFlowRunner
+
+
+class StubFlow(nn.Module):
+    """Quarter-res 'flow' = mean of each input's channels (deterministic,
+    shape-correct stand-in for PWCDCNet)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gain = self.param("gain", nn.initializers.ones, ())
+        pooled = nn.avg_pool(x, (4, 4), (4, 4))
+        u = jnp.mean(pooled[..., :3], axis=-1, keepdims=True)
+        v = jnp.mean(pooled[..., 3:], axis=-1, keepdims=True)
+        return jnp.concatenate([u, v], axis=-1) * gain
+
+
+def _frames(n, h=96, w=130, seed=0):
+    rng = np.random.RandomState(seed)
+    return [(rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def runner():
+    model = StubFlow()
+    import jax
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 6)))["params"]
+    return VideoFlowRunner(model, params, preset="rgb_unit",
+                           flow_scale=2.0, batch=3, depth=1)
+
+
+def test_pairing_and_counts(runner):
+    frames = _frames(8)
+    outs = list(runner.run(iter(frames)))
+    assert len(outs) == 7  # n-1 consecutive pairs
+    # the yielded frame is the FIRST of each pair, original (BGR) frame
+    np.testing.assert_array_equal(outs[0][0], frames[0])
+    np.testing.assert_array_equal(outs[-1][0], frames[6])
+
+
+def test_quarter_res_and_padding(runner):
+    frames = _frames(4, h=96, w=130)  # padded to 128 x 192
+    outs = list(runner.run(iter(frames)))
+    for _, q in outs:
+        assert q.shape == (128 // 4, 192 // 4, 2)
+        assert np.isfinite(q).all()
+
+
+def test_partial_batch_values_match_full(runner):
+    """Values must not depend on how pairs fall into batches (the padded
+    final batch must be cropped correctly)."""
+    frames = _frames(5, seed=3)  # 4 pairs = batch(3) + partial(1)
+    outs_a = [q for _, q in runner.run(iter(frames))]
+    # same pairs, streamed again
+    outs_b = [q for _, q in runner.run(iter(frames))]
+    assert len(outs_a) == 4
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_preset_applied(runner):
+    """flow_scale and preprocessing reach the output: uniform gray frames
+    give u = mean(gray/255) * scale."""
+    f = [np.full((64, 64, 3), 128, np.uint8)] * 2
+    (_, q), = list(runner.run(iter(f)))
+    expected = (128 / 255.0) * 2.0
+    np.testing.assert_allclose(q[..., 0], expected, atol=1e-5)
