@@ -85,10 +85,13 @@ class ConvLR(nn.Module):
             jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        y = conv2d(x.astype(self.dtype), k.astype(self.dtype), b,
+        fast = self.precision == "fast" and self.dtype != jnp.float32
+        y = conv2d(x.astype(self.dtype), k.astype(self.dtype),
+                   b.astype(self.dtype) if fast else b,
                    stride=self.stride, padding=self.padding,
                    dilation=self.dilation,
-                   precision=_prec(self.dtype, self.precision))
+                   precision=_prec(self.dtype, self.precision),
+                   out_dtype=self.dtype if fast else jnp.float32)
         return leaky_relu(y).astype(self.dtype)
 
 

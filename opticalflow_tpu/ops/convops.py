@@ -25,12 +25,15 @@ __all__ = ["conv2d", "deconv2d", "leaky_relu"]
 
 def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None, *,
            stride: int = 1, padding: int = 1, dilation: int = 1,
-           precision=None) -> jax.Array:
+           precision=None, out_dtype=jnp.float32) -> jax.Array:
     """NHWC conv matching torch Conv2d(stride, padding, dilation).
 
     ``precision``: pass ``jax.lax.Precision.HIGHEST`` for exact float32
     accumulation (required for checkpoint-fidelity parity); None inherits the
     backend default (single-pass bf16 on MXU — the throughput path).
+    ``out_dtype``: the emitted dtype — the MXU accumulates f32 internally
+    either way, but a bf16 output halves the HBM write for activations that
+    are immediately re-cast (the fast path's pyramid/dense convs).
     """
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -40,7 +43,7 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None, *,
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
         precision=precision,
     )
     if bias is not None:

@@ -46,19 +46,6 @@ def _effective_coords(flow: jax.Array, height: int, width: int):
     return xs, ys
 
 
-def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
-    """Gather img[b, iy, ix, :] for per-pixel integer index maps.
-
-    img: (B, H, W, C); iy/ix: (B, Ho, Wo) int32 already clipped in-range.
-    Returns (B, Ho, Wo, C).
-    """
-    b, h, w, c = img.shape
-    flat = img.reshape(b, h * w, c)
-    idx = (iy * w + ix).reshape(b, -1, 1)
-    out = jnp.take_along_axis(flat, idx, axis=1)
-    return out.reshape(b, iy.shape[1], iy.shape[2], c)
-
-
 def grid_sample(img: jax.Array, xs: jax.Array, ys: jax.Array,
                 compute_mask: bool = False, padding: str = "zeros"):
     """Bilinear sample ``img`` at pixel coords (xs, ys).
@@ -70,8 +57,16 @@ def grid_sample(img: jax.Array, xs: jax.Array, ys: jax.Array,
 
     When ``compute_mask`` is true, also returns the sampled all-ones map
     (the sum of in-bounds bilinear weights), used for validity masking.
+
+    TPU note: implemented as ONE row-gather of packed 2×2 neighborhoods
+    (4C channels from a 1-px zero-padded image) instead of four separate
+    gathers — TPU gathers are per-row-throughput-limited, so this is ~4×
+    cheaper where the XLA profile showed them dominating (~25% of the
+    forward).  Out-of-range corners get zero *weight*, so packed values are
+    only required to be exact for in-range corners (they are: a base index
+    in [-1, dim-1] maps unclipped into the padded array).
     """
-    _, h, w, _ = img.shape
+    b, h, w, c = img.shape
     if padding == "border":
         xs = jnp.clip(xs, 0.0, float(w - 1))
         ys = jnp.clip(ys, 0.0, float(h - 1))
@@ -79,32 +74,38 @@ def grid_sample(img: jax.Array, xs: jax.Array, ys: jax.Array,
         raise ValueError(f"padding must be 'zeros' or 'border', got {padding!r}")
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
-    wx = xs - x0
-    wy = ys - y0
+    # weights stay float32 regardless of img dtype: the 0.9999 validity
+    # threshold on their sum is far below bf16 resolution
+    wx = (xs - x0).astype(jnp.float32)
+    wy = (ys - y0).astype(jnp.float32)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
 
-    out = None
-    ones_acc = None
-    for yi, xi, wgt in (
-        (y0, x0, (1.0 - wy) * (1.0 - wx)),
-        (y0, x1, (1.0 - wy) * wx),
-        (y1, x0, wy * (1.0 - wx)),
-        (y1, x1, wy * wx),
-    ):
-        valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
-        wv = wgt * valid.astype(wgt.dtype)
-        ic = jnp.clip(xi, 0, w - 1)
-        jc = jnp.clip(yi, 0, h - 1)
-        contrib = _gather_2d(img, jc, ic) * wv[..., None]
-        out = contrib if out is None else out + contrib
-        if compute_mask:
-            ones_acc = wv if ones_acc is None else ones_acc + wv
+    # packed neighborhoods over the 1-px zero-padded image:
+    # z[py, px] = [p(py,px), p(py,px+1), p(py+1,px), p(py+1,px+1)]
+    pimg = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    z = jnp.concatenate([
+        pimg[:, :-1, :-1], pimg[:, :-1, 1:],
+        pimg[:, 1:, :-1], pimg[:, 1:, 1:]], axis=-1)  # (B, H+1, W+1, 4C)
+    zb = jnp.clip(y0 + 1, 0, h)
+    za = jnp.clip(x0 + 1, 0, w)
+    idx = (zb * (w + 1) + za).reshape(b, -1, 1)
+    corners = jnp.take_along_axis(
+        z.reshape(b, (h + 1) * (w + 1), 4 * c), idx, axis=1)
+    corners = corners.reshape(b, xs.shape[1], xs.shape[2], 4, c)
 
+    weights = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                         wy * (1 - wx), wy * wx], axis=-1)
+    valid = jnp.stack([
+        (x0 >= 0) & (x0 <= w - 1) & (y0 >= 0) & (y0 <= h - 1),
+        (x0 >= -1) & (x0 <= w - 2) & (y0 >= 0) & (y0 <= h - 1),
+        (x0 >= 0) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 2),
+        (x0 >= -1) & (x0 <= w - 2) & (y0 >= -1) & (y0 <= h - 2),
+    ], axis=-1)
+    wv = weights * valid.astype(weights.dtype)
+    out = jnp.einsum("bhwk,bhwkc->bhwc", wv, corners)
     if compute_mask:
-        return out, ones_acc
+        return out, jnp.sum(wv, axis=-1)
     return out
 
 
