@@ -104,12 +104,16 @@ class PredictFlow(nn.Module):
     def __call__(self, x):
         k = self.param("kernel", _kaiming, (3, 3, x.shape[-1], 2), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (2,), jnp.float32)
-        # conv in the compute dtype, accumulate/emit float32
-        # (preferred_element_type) — flow magnitudes feed warps and losses,
-        # but upcasting the whole 500+-channel input would cost a huge copy.
-        return conv2d(x.astype(self.dtype), k.astype(self.dtype), b,
-                      stride=1, padding=1,
-                      precision=_prec(self.dtype, self.precision))
+        # Fast mode: conv in the compute dtype (upcasting the 500+-channel
+        # input would cost a huge copy), emitting the compute dtype so the
+        # conv transpose under AD sees matching dtypes; the f32 bias-add
+        # promotes the flow back to float32.  Highest mode stays f32 exact.
+        fast = self.precision == "fast" and self.dtype != jnp.float32
+        y = conv2d(x.astype(self.dtype), k.astype(self.dtype), None,
+                   stride=1, padding=1,
+                   precision=_prec(self.dtype, self.precision),
+                   out_dtype=self.dtype if fast else jnp.float32)
+        return y.astype(jnp.float32) + b
 
 
 class Deconv(nn.Module):
@@ -129,8 +133,11 @@ class Deconv(nn.Module):
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        return deconv2d(x.astype(self.dtype), k.astype(self.dtype), b,
-                        precision=_prec(self.dtype, self.precision))
+        fast = self.precision == "fast" and self.dtype != jnp.float32
+        y = deconv2d(x.astype(self.dtype), k.astype(self.dtype), None,
+                     precision=_prec(self.dtype, self.precision),
+                     out_dtype=self.dtype if fast else jnp.float32)
+        return y.astype(jnp.float32) + b
 
 
 class PWCDCNet(nn.Module):

@@ -53,7 +53,7 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None, *,
 
 def deconv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None, *,
              stride: int = 2, kernel_size: int = 4, padding: int = 1,
-             precision=None) -> jax.Array:
+             precision=None, out_dtype=jnp.float32) -> jax.Array:
     """NHWC transposed conv matching torch ConvTranspose2d(k, s, p).
 
     ``kernel`` is HWIO of the *equivalent forward conv* (already spatially
@@ -69,7 +69,7 @@ def deconv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None, *,
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
         precision=precision,
     )
     if bias is not None:

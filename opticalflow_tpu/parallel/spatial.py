@@ -77,7 +77,11 @@ def tiled_quarter_flow(model, params, x: jax.Array, *, tile_h: int = 256,
 
     if mesh is not None:
         from opticalflow_tpu.parallel.mesh import batch_sharding, replicated
-        stacked = jax.device_put(stacked, batch_sharding(mesh))
+        n_dev = mesh.devices.size
+        if stacked.shape[0] % n_dev == 0:
+            stacked = jax.device_put(stacked, batch_sharding(mesh))
+        # tile-batch not divisible by the mesh: keep it unsharded (single
+        # device) rather than failing — callers pick tile_h to match
         params = jax.device_put(params, replicated(mesh))
 
     @jax.jit
