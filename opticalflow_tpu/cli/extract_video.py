@@ -75,8 +75,7 @@ def main(argv=None) -> int:
 
     n = 0
     t0 = None  # start timing after the first (compile-laden) result
-    prev_frame = [None]
-    for frame, qflow in runner.run(frames):
+    for frame, frame2, qflow in runner.run(frames):
         if t0 is None:
             t0 = time.perf_counter()
         if args.mode == "arrows":
@@ -94,17 +93,11 @@ def main(argv=None) -> int:
         elif args.mode == "compare":
             left = ov.arrow_overlay(frame, qflow, step=args.step,
                                     scale=args.arrow_scale, title="PWC-Net")
-            if prev_frame[0] is not None:
-                base = ov.opencv_flow(prev_frame[0], frame,
-                                      args.compare_method)
-                right = ov.arrow_overlay(frame, base, step=args.step,
-                                         scale=args.arrow_scale,
-                                         title=args.compare_method,
-                                         color="lime")
-            else:
-                right = frame
+            base = ov.opencv_flow(frame, frame2, args.compare_method)
+            right = ov.arrow_overlay(frame, base, step=args.step,
+                                     scale=args.arrow_scale,
+                                     title=args.compare_method, color="lime")
             out = ov.side_by_side(left, right)
-            prev_frame[0] = frame
         else:  # topview
             full = ov.resize_flow_np(qflow, h, w)
             dom = tv.dominant_direction(full)

@@ -179,7 +179,7 @@ def _attach_epipolar(model, state, batch, args, keys):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from opticalflow_tpu.geometry.epipolar import build_epipolar_mask
+    from opticalflow_tpu.geometry.epipolar import epipolar_mask_and_f
     from opticalflow_tpu.train.losses import _flow_to_image_res
 
     images = jnp.asarray(batch["images"])
@@ -187,11 +187,12 @@ def _attach_epipolar(model, state, batch, args, keys):
     flow2 = model.apply({"params": state.params}, images) * args.flow_scale
     full = _flow_to_image_res(flow2, h, w)
     kidx = int(jax.random.randint(keys[0], (), 0, len(keys)))
-    masks = jax.vmap(lambda f, k: build_epipolar_mask(
+    masks, fs = jax.vmap(lambda f, k: epipolar_mask_and_f(
         f, k, tau=args.epi_tau, stride=args.epi_stride))(
             full, keys[kidx:kidx + full.shape[0]])
     batch = dict(batch)
     batch["photo_mask"] = np.asarray(masks.astype(jnp.float32))
+    batch["fundamental"] = np.asarray(fs.astype(jnp.float32))
     return batch
 
 

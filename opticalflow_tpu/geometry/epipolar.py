@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["flow_to_pairs", "eight_point_fundamental", "sampson_distance",
-           "ransac_fundamental", "build_epipolar_mask", "sampson_penalty"]
+           "ransac_fundamental", "build_epipolar_mask", "epipolar_mask_and_f",
+           "sampson_penalty"]
 
 
 def flow_to_pairs(flow: jax.Array, stride: int = 4
@@ -129,11 +130,11 @@ def ransac_fundamental(x1: jax.Array, x2: jax.Array, key: jax.Array, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("stride", "iters", "min_samples"))
-def build_epipolar_mask(flow: jax.Array, key: jax.Array, *, tau: float = 1.0,
+def epipolar_mask_and_f(flow: jax.Array, key: jax.Array, *, tau: float = 1.0,
                         stride: int = 4, keep_ratio: float = 0.2,
                         min_keep: float = 0.05, iters: int = 256,
-                        thresh: float = 0.5, min_samples: int = 8) -> jax.Array:
-    """(H, W, 2) flow → (H, W) bool keep-mask for the photometric loss.
+                        thresh: float = 0.5, min_samples: int = 8):
+    """(H, W, 2) flow → ((H, W) bool keep-mask, (3, 3) fundamental matrix).
 
     Threshold = min(tau, keep_ratio-quantile of the Sampson map), relaxed to
     the min_keep quantile when the mask would fall below that coverage
@@ -160,7 +161,13 @@ def build_epipolar_mask(flow: jax.Array, key: jax.Array, *, tau: float = 1.0,
     thr_relaxed = jnp.minimum(jnp.float32(tau), jnp.quantile(d, min_keep))
     keep = jnp.where(jnp.mean(keep) < min_keep, d <= thr_relaxed, keep)
     # RANSAC failure → keep everything
-    return jnp.where(count < min_samples, jnp.ones_like(keep), keep)
+    keep = jnp.where(count < min_samples, jnp.ones_like(keep), keep)
+    return keep, f
+
+
+def build_epipolar_mask(flow: jax.Array, key: jax.Array, **kwargs) -> jax.Array:
+    """Mask-only convenience wrapper around :func:`epipolar_mask_and_f`."""
+    return epipolar_mask_and_f(flow, key, **kwargs)[0]
 
 
 def sampson_penalty(flow: jax.Array, f: jax.Array,

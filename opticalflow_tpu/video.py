@@ -110,8 +110,11 @@ class VideoFlowRunner:
         return frame
 
     def run(self, frames: Iterator[np.ndarray],
-            channel_order: str = "bgr") -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (frame_bgr, quarter_flow) per consecutive pair.
+            channel_order: str = "bgr"
+            ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (frame_t, frame_t1, quarter_flow) per consecutive pair —
+        both original frames, so consumers (e.g. the OpenCV-flow comparison
+        mode) see the exact pair the flow belongs to.
 
         ``quarter_flow`` is (H64/4, W64/4, 2) in pixel units at that scale —
         pass through ``viz.overlay.resize_flow_np`` (done by the overlay
@@ -142,16 +145,16 @@ class VideoFlowRunner:
                 pair = np.concatenate(
                     [self._pad(prev[0]), self._pad(rgb)], axis=-1)
                 buf.append(pair)
-                metas.append(prev[1])
+                metas.append((prev[1], frame))
                 if len(buf) == self.batch:
                     submit()
             prev = (rgb, frame)
             while len(inflight) > self.depth:
                 out, ms = inflight.popleft()
-                for k, m in enumerate(ms):
-                    yield m, np.asarray(out[k])
+                for k, (m0, m1) in enumerate(ms):
+                    yield m0, m1, np.asarray(out[k])
         submit()
         while inflight:
             out, ms = inflight.popleft()
-            for k, m in enumerate(ms):
-                yield m, np.asarray(out[k])
+            for k, (m0, m1) in enumerate(ms):
+                yield m0, m1, np.asarray(out[k])

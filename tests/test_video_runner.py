@@ -41,15 +41,17 @@ def test_pairing_and_counts(runner):
     frames = _frames(8)
     outs = list(runner.run(iter(frames)))
     assert len(outs) == 7  # n-1 consecutive pairs
-    # the yielded frame is the FIRST of each pair, original (BGR) frame
+    # each yield carries BOTH original (BGR) frames of its pair
     np.testing.assert_array_equal(outs[0][0], frames[0])
+    np.testing.assert_array_equal(outs[0][1], frames[1])
     np.testing.assert_array_equal(outs[-1][0], frames[6])
+    np.testing.assert_array_equal(outs[-1][1], frames[7])
 
 
 def test_quarter_res_and_padding(runner):
     frames = _frames(4, h=96, w=130)  # padded to 128 x 192
     outs = list(runner.run(iter(frames)))
-    for _, q in outs:
+    for _, _, q in outs:
         assert q.shape == (128 // 4, 192 // 4, 2)
         assert np.isfinite(q).all()
 
@@ -58,9 +60,9 @@ def test_partial_batch_values_match_full(runner):
     """Values must not depend on how pairs fall into batches (the padded
     final batch must be cropped correctly)."""
     frames = _frames(5, seed=3)  # 4 pairs = batch(3) + partial(1)
-    outs_a = [q for _, q in runner.run(iter(frames))]
+    outs_a = [q for _, _, q in runner.run(iter(frames))]
     # same pairs, streamed again
-    outs_b = [q for _, q in runner.run(iter(frames))]
+    outs_b = [q for _, _, q in runner.run(iter(frames))]
     assert len(outs_a) == 4
     for a, b in zip(outs_a, outs_b):
         np.testing.assert_array_equal(a, b)
@@ -70,6 +72,6 @@ def test_preset_applied(runner):
     """flow_scale and preprocessing reach the output: uniform gray frames
     give u = mean(gray/255) * scale."""
     f = [np.full((64, 64, 3), 128, np.uint8)] * 2
-    (_, q), = list(runner.run(iter(f)))
+    (_, _, q), = list(runner.run(iter(f)))
     expected = (128 / 255.0) * 2.0
     np.testing.assert_allclose(q[..., 0], expected, atol=1e-5)
