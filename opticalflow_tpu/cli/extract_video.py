@@ -56,6 +56,9 @@ def main(argv=None) -> int:
                      precision="fast" if args.dtype == "bfloat16"
                      else "highest")
     params = load_params(args.ckpt, variant=args.variant)
+    from opticalflow_tpu.utils.profiling import param_count
+    print(f"model: PWCDCNet[{args.variant}] {param_count(params)/1e6:.2f}M "
+          f"params, {args.dtype}")  # the reference prints ptflops at load
     runner = VideoFlowRunner(model, params, preset=args.preset,
                              flow_scale=args.flow_scale, batch=args.batch)
 

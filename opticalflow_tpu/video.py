@@ -21,7 +21,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import jax
@@ -78,6 +78,8 @@ class VideoFlowRunner:
 
     def __init__(self, model: PWCDCNet, params, *, preset: str = "rgb_unit",
                  flow_scale: float = 1.0, batch: int = 4, depth: int = 2):
+        if preset not in ("rgb_unit", "bgr_unit", "rgb_imagenet"):
+            raise ValueError(f"unknown preprocessing preset {preset!r}")
         self.model = model
         self.params = jax.tree.map(jnp.asarray, params)
         self.preset = preset

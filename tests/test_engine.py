@@ -1,0 +1,77 @@
+"""FlowEngine: pipeline semantics (both size modes) + sharded inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opticalflow_tpu.engine import FlowEngine
+from opticalflow_tpu.models.pwcnet import PWCDCNet
+from opticalflow_tpu.parallel import mesh as meshlib
+from opticalflow_tpu.utils.debugging import check_finite, nan_guard
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 6)))["params"]
+    return model, params
+
+
+def _frames(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return ((rng.rand(h, w, 3) * 255).astype(np.uint8),
+            (rng.rand(h, w, 3) * 255).astype(np.uint8))
+
+
+def test_flow_from_pair_resize_mode(setup):
+    model, params = setup
+    engine = FlowEngine(model, params, flow_scale=20.0)
+    im1, im2 = _frames(100, 150)  # forces resize to 128x192
+    flow = engine.flow_from_pair(im1, im2, size_mode="resize")
+    assert flow.shape == (100, 150, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_flow_from_pair_pad_mode(setup):
+    model, params = setup
+    engine = FlowEngine(model, params, flow_scale=1.0)
+    im1, im2 = _frames(100, 150, 1)
+    flow = engine.flow_from_pair(im1, im2, size_mode="pad",
+                                 preset="rgb_imagenet")
+    assert flow.shape == (100, 150, 2)
+    with pytest.raises(ValueError, match="size_mode"):
+        engine.flow_from_pair(im1, im2, size_mode="bogus")
+
+
+def test_flow_from_batch_sharded(setup):
+    """Data-parallel inference over the 8-device virtual mesh must agree
+    with single-device inference."""
+    model, params = setup
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    eng_mesh = FlowEngine(model, params, flow_scale=20.0, mesh=mesh)
+    eng_solo = FlowEngine(model, params, flow_scale=20.0)
+    x = np.random.RandomState(2).rand(8, 64, 64, 6).astype(np.float32)
+    a = np.asarray(eng_mesh.flow_from_batch(x))
+    b = np.asarray(eng_solo.flow_from_batch(x))
+    assert a.shape == (8, 64, 64, 2)
+    # tiny per-device reduction-order differences are expected
+    np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-2)
+
+
+def test_check_finite_reports_paths():
+    tree = {"a": {"kernel": np.ones(3)},
+            "b": np.array([1.0, np.nan, np.inf])}
+    with pytest.raises(ValueError, match="b .2/3 non-finite"):
+        check_finite(tree, "params")
+    check_finite({"a": np.zeros(2)})  # clean tree passes
+
+
+def test_nan_guard_context():
+    with nan_guard():
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / x)(jnp.zeros(4))
+    assert not jax.config.jax_debug_nans
