@@ -41,7 +41,6 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import cv2
     import jax.numpy as jnp
-    import numpy as np
     from opticalflow_tpu.models.pwcnet import PWCDCNet
     from opticalflow_tpu.train.checkpoints import load_params
     from opticalflow_tpu.video import VideoFlowRunner, frame_pairs_from_video

@@ -33,7 +33,6 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import jax.numpy as jnp  # noqa: F401  (ensures backend init order)
     from opticalflow_tpu.engine import FlowEngine
     from opticalflow_tpu.evaluate import evaluate_kitti
     from opticalflow_tpu.models.pwcnet import PWCDCNet

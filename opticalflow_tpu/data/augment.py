@@ -19,7 +19,7 @@ augmentations draw from global ``random``/``np.random``, SURVEY.md §5):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ the flow upsampling runs on device.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

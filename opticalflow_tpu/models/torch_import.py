@@ -20,7 +20,6 @@ state_dict so checkpoints trained here remain loadable by the reference.
 
 from __future__ import annotations
 
-import pickle
 from typing import Dict, Mapping
 
 import numpy as np

@@ -21,7 +21,11 @@ __all__ = ["available", "flow_to_color_native", "flow_max_rad",
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "flowviz.cpp")
-_LIB_PATH = os.path.join(_HERE, "_flowviz.so")
+# built artifact lives outside the package so it is never mistaken for a
+# CPython extension module by import machinery
+_LIB_DIR = os.environ.get("OPTICALFLOW_TPU_LIB_DIR",
+                          os.path.expanduser("~/.cache/opticalflow_tpu"))
+_LIB_PATH = os.path.join(_LIB_DIR, "libflowviz.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -44,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        os.makedirs(_LIB_DIR, exist_ok=True)
         if not os.path.exists(_LIB_PATH) or (
                 os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             if not _build():

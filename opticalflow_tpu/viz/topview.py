@@ -17,7 +17,7 @@ Divergences from the reference (documented, intentional):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
