@@ -41,6 +41,13 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--val-frac", type=float, default=0.0,
+                   help="held-out fraction for per-epoch validation "
+                        "(best-by-metric checkpointing, train2.py style)")
+    p.add_argument("--plateau-factor", type=float, default=0.0,
+                   help="ReduceLROnPlateau factor (0 disables; train2 "
+                        "used the torch default 0.1)")
+    p.add_argument("--plateau-patience", type=int, default=3)
     p.add_argument("--crop", type=int, nargs=2, default=(320, 896))
     p.add_argument("--size", type=int, nargs=2, default=(384, 512),
                    help="frame size for self-supervised regimes")
@@ -77,7 +84,9 @@ def main(argv=None) -> int:
     from opticalflow_tpu.models.pwcnet import PWCDCNet
     from opticalflow_tpu.parallel import mesh as meshlib
     from opticalflow_tpu.train.trainer import (TrainConfig, TrainState,
+                                               PlateauController,
                                                create_train_state,
+                                               make_eval_metrics_step,
                                                make_train_step)
     from opticalflow_tpu.train import checkpoints as ckpt
     from opticalflow_tpu.data.loader import Loader
@@ -89,6 +98,8 @@ def main(argv=None) -> int:
         loss=regime_to_loss[args.regime],
         optimizer="adam" if args.regime != "multiscale" else "adamw",
         lr=args.lr, weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        plateau_factor=args.plateau_factor,
+        plateau_patience=args.plateau_patience,
         lambda_photo=args.lambda_photo, lambda_smooth=args.lambda_smooth,
         epi_soft_weight=args.epi_soft_w if args.regime == "epipolar" else 0.0,
         flow_scale=args.flow_scale)
@@ -107,6 +118,13 @@ def main(argv=None) -> int:
                                    params=params)
 
     ds = _make_dataset(args)
+    val_loader = None
+    if args.val_frac > 0:
+        from opticalflow_tpu.data.loader import train_val_split
+        ds, val_ds = train_val_split(ds, args.val_frac, seed=args.seed)
+        if val_ds is not None:
+            val_loader = Loader(val_ds, args.batch, shuffle=False,
+                                num_workers=args.workers, seed=args.seed)
     loader = Loader(ds, args.batch, num_workers=args.workers, seed=args.seed)
 
     start_epoch = 0
@@ -132,10 +150,14 @@ def main(argv=None) -> int:
             print(f"resumed from step {step} (epoch {start_epoch})")
 
     step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+    eval_fn = make_eval_metrics_step(model, cfg, mesh=mesh) if val_loader \
+        else None
+    plateau = PlateauController(cfg)
     state = jax.device_put(state, meshlib.replicated(mesh))
     log_path = os.path.join(args.out_dir, "metrics.jsonl")
     epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
 
+    best_metric = float("inf")
     history = []
     for epoch in range(start_epoch, args.epochs):
         loader.epoch = epoch
@@ -163,6 +185,29 @@ def main(argv=None) -> int:
         print(f"epoch {epoch}: loss={mean_loss:.4f} "
               f"({ips:.1f} samples/s, {dt:.1f}s)")
         history.append((epoch, mean_loss))
+
+        if val_loader is not None:
+            vals = []
+            for vb in val_loader:
+                if args.regime == "epipolar":
+                    vb = _attach_epipolar(model, state, vb, args, epi_keys)
+                vm = eval_fn(state.params, meshlib.shard_batch(vb, mesh))
+                vals.append({k: float(v) for k, v in vm.items()})
+            agg = {k: sum(v[k] for v in vals) / len(vals) for k in vals[0]}
+            key_metric = agg.get("epe", agg["loss"])
+            print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+            with open(log_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "val": agg}) + "\n")
+            state = plateau.step(state, key_metric)
+            if key_metric < best_metric:
+                best_metric = key_metric
+                path = ckpt.save_train_state(
+                    os.path.join(args.out_dir, "best"), int(state.step),
+                    state.params, state.opt_state,
+                    metadata={"epoch": epoch, "metric": key_metric,
+                              "regime": args.regime})
+                print(f"best model saved ({key_metric:.4f}) -> {path}")
+
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
             path = ckpt.save_train_state(
                 args.out_dir, int(state.step), state.params, state.opt_state,

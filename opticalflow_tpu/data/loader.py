@@ -21,7 +21,37 @@ from typing import Dict, Iterator
 
 import numpy as np
 
-__all__ = ["Loader"]
+__all__ = ["Loader", "Subset", "train_val_split"]
+
+
+class Subset:
+    """Index-remapped view of a dataset (deterministic train/val splits)."""
+
+    def __init__(self, dataset, indices):
+        self.ds = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.ds[self.indices[i]]
+
+    def get(self, i, epoch=0):
+        if hasattr(self.ds, "get"):
+            return self.ds.get(self.indices[i], epoch=epoch)
+        return self.ds[self.indices[i]]
+
+
+def train_val_split(dataset, val_frac: float, seed: int = 0):
+    """Deterministic (seeded-shuffle) split into (train, val) Subsets."""
+    n = len(dataset)
+    idx = np.arange(n)
+    np.random.default_rng(seed).shuffle(idx)
+    n_val = max(1, int(round(n * val_frac))) if val_frac > 0 else 0
+    if n_val == 0 or n_val >= n:
+        return Subset(dataset, idx), None
+    return Subset(dataset, idx[n_val:]), Subset(dataset, idx[:n_val])
 
 
 def _collate(samples):

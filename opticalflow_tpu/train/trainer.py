@@ -37,7 +37,8 @@ from opticalflow_tpu.parallel import mesh as meshlib
 from opticalflow_tpu.train import losses as L
 
 __all__ = ["TrainConfig", "TrainState", "make_optimizer", "make_train_step",
-           "create_train_state", "make_eval_metrics_step"]
+           "create_train_state", "make_eval_metrics_step",
+           "PlateauController"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,10 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 1e-4
     grad_clip: float = 1.0             # 0 disables (train2.py grad-clip 1.0)
+    # ReduceLROnPlateau (train2.py's scheduler): scale lr by plateau_factor
+    # after plateau_patience epochs without val-metric improvement; 0 = off
+    plateau_factor: float = 0.0
+    plateau_patience: int = 3
     multiscale_weights: Tuple[float, ...] = L.MULTISCALE_WEIGHTS
     lambda_photo: float = 0.0
     lambda_smooth: float = 0.0
@@ -68,14 +73,58 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
-        tx = optax.adam(cfg.lr)
+        base = optax.adam
+        kw = {}
     elif cfg.optimizer == "adamw":
-        tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        base = optax.adamw
+        kw = {"weight_decay": cfg.weight_decay}
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.plateau_factor:
+        # expose learning_rate as mutable optimizer-state so the host-side
+        # plateau controller can rescale it between epochs
+        tx = optax.inject_hyperparams(base)(learning_rate=cfg.lr, **kw)
+    else:
+        tx = base(cfg.lr, **kw)
     if cfg.grad_clip and cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau (the ``train2.py`` scheduler): call
+    :meth:`step` with the epoch's validation metric; when it fails to improve
+    for ``patience`` epochs, the injected learning_rate in the optimizer
+    state is scaled by ``factor``.  Returns the (possibly updated) state."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.factor = cfg.plateau_factor
+        self.patience = cfg.plateau_patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, state: "TrainState", metric: float) -> "TrainState":
+        if not self.factor:
+            return state
+        if metric < self.best - 1e-6:
+            self.best = metric
+            self.bad_epochs = 0
+            return state
+        self.bad_epochs += 1
+        if self.bad_epochs < self.patience:
+            return state
+        self.bad_epochs = 0
+        opt_state = state.opt_state
+        # with grad clip the injected optimizer is the chain's 2nd element
+        idx = 1 if isinstance(opt_state, tuple) and len(opt_state) == 2 else None
+        inner = opt_state[idx] if idx is not None else opt_state
+        new_lr = inner.hyperparams["learning_rate"] * self.factor
+        inner = inner._replace(
+            hyperparams={**inner.hyperparams, "learning_rate": new_lr})
+        if idx is not None:
+            opt_state = (opt_state[0], inner)
+        print(f"plateau: learning_rate -> {float(new_lr):.3e}")
+        return state.replace(opt_state=opt_state)
 
 
 def create_train_state(model, rng, cfg: TrainConfig,
