@@ -177,3 +177,24 @@ def test_deconv2d_matches_torch():
     np.testing.assert_allclose(np.asarray(out),
                                ref.detach().permute(0, 2, 3, 1).numpy(),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_bilinear_warp_border_padding_matches_torch():
+    """The proxy-loss warp (train_pseudo.py:128-164): align_corners=True,
+    padding_mode='border'."""
+    b, h, w, c = 2, 9, 13, 3
+    x = _rand((b, h, w, c), 20)
+    flow = (_rand((b, h, w, 2), 21) * 6.0).astype(np.float32)  # heavy OOB
+    out = bilinear_warp(jnp.asarray(x), jnp.asarray(flow), padding="border")
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ft = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack((xs, ys)).float()[None] + ft
+    gx = 2.0 * grid[:, 0] / max(w - 1, 1) - 1.0
+    gy = 2.0 * grid[:, 1] / max(h - 1, 1) - 1.0
+    ref = F.grid_sample(xt, torch.stack((gx, gy), dim=3),
+                        align_corners=True, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-4)
