@@ -23,6 +23,7 @@ __all__ = ["evaluate_pairs", "evaluate_kitti", "evaluate_sintel"]
 def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
                    size_mode: str = "pad",
                    save_dir: Optional[str] = None,
+                   save_format: str = "kitti_png",
                    limit: Optional[int] = None,
                    verbose: bool = True) -> Dict[str, float]:
     """Evaluate any dataset yielding {im1, im2, stem[, flow[, valid]]}.
@@ -39,11 +40,14 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
                                      size_mode=size_mode)
         if save_dir:
             import os
-            from opticalflow_tpu.io.kitti import write_flow_png
             os.makedirs(save_dir, exist_ok=True)
-            write_flow_png(
-                os.path.join(save_dir, f"{s['stem'].replace('/', '_')}.png"),
-                flow)
+            stem = s["stem"].replace("/", "_")
+            if save_format == "flo":
+                from opticalflow_tpu.io.flo import write_flo
+                write_flo(os.path.join(save_dir, f"{stem}.flo"), flow)
+            else:
+                from opticalflow_tpu.io.kitti import write_flow_png
+                write_flow_png(os.path.join(save_dir, f"{stem}.png"), flow)
         if "flow" in s:
             valid = s.get("valid")
             e = M.epe(flow, s["flow"], valid)
@@ -77,8 +81,11 @@ def evaluate_kitti(engine, root: str, *, year: int = 2015,
 
 def evaluate_sintel(engine, root: str, *, render: str = "clean",
                     preset: str = "bgr_unit",
+                    save_dir: Optional[str] = None,
                     limit: Optional[int] = None) -> Dict[str, float]:
-    """MPI-Sintel clean/final EPE over the training split (dense GT)."""
+    """MPI-Sintel clean/final EPE over the training split (dense GT);
+    optionally dump predictions as Middlebury .flo files."""
     from opticalflow_tpu.data.datasets import SintelPairs
     ds = SintelPairs(root, render=render)
-    return evaluate_pairs(engine, ds, preset=preset, limit=limit)
+    return evaluate_pairs(engine, ds, preset=preset, save_dir=save_dir,
+                          save_format="flo", limit=limit)

@@ -77,21 +77,32 @@ class VideoFlowRunner:
     """
 
     def __init__(self, model: PWCDCNet, params, *, preset: str = "rgb_unit",
-                 flow_scale: float = 1.0, batch: int = 4, depth: int = 2):
+                 flow_scale: float = 1.0, batch: int = 4, depth: int = 2,
+                 mesh=None):
         if preset not in ("rgb_unit", "bgr_unit", "rgb_imagenet"):
             raise ValueError(f"unknown preprocessing preset {preset!r}")
         self.model = model
-        self.params = jax.tree.map(jnp.asarray, params)
         self.preset = preset
         self.flow_scale = float(flow_scale)
         self.batch = batch
         self.depth = depth
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from opticalflow_tpu.parallel.mesh import (batch_sharding,
+                                                       replicated)
+            if batch % mesh.devices.size:
+                raise ValueError(
+                    f"batch {batch} not divisible by mesh size "
+                    f"{mesh.devices.size}")
+            self._x_sharding = batch_sharding(mesh)
+            params = jax.device_put(params, replicated(mesh))
+        self.params = jax.tree.map(jnp.asarray, params)
 
         mean = jnp.asarray(_IMAGENET_MEAN)
         std = jnp.asarray(_IMAGENET_STD)
         scale = self.flow_scale
 
-        @jax.jit
         def step(params, pairs_u8):
             x = pairs_u8.astype(jnp.float32) / 255.0
             if preset == "bgr_unit":
@@ -102,7 +113,10 @@ class VideoFlowRunner:
                     axis=-1)
             return self.model.apply({"params": params}, x) * scale
 
-        self._step = step
+        if mesh is not None:
+            self._step = jax.jit(step, in_shardings=(None, self._x_sharding))
+        else:
+            self._step = jax.jit(step)
 
     def _pad(self, frame: np.ndarray) -> np.ndarray:
         h, w = frame.shape[:2]
@@ -137,7 +151,9 @@ class VideoFlowRunner:
             while len(buf) < self.batch:
                 buf.append(buf[-1])
             arr = np.stack(buf)  # (B, H64, W64, 6) uint8
-            out = self._step(self.params, jnp.asarray(arr))
+            dev = (jax.device_put(arr, self._x_sharding)
+                   if self._x_sharding is not None else jnp.asarray(arr))
+            out = self._step(self.params, dev)
             inflight.append((out[:n_real], metas))
             buf, metas = [], []
 

@@ -66,6 +66,16 @@ def test_limit_and_size_mode_and_save(tmp_path):
     assert sorted(p.name for p in tmp_path.iterdir()) == ["s0.png", "s1.png"]
 
 
+def test_save_format_flo(tmp_path):
+    from opticalflow_tpu.io.flo import read_flo
+    eng = StubEngine()
+    evaluate_pairs(eng, StubDataset(1), save_dir=str(tmp_path),
+                   save_format="flo", verbose=False)
+    flow = read_flo(str(tmp_path / "s0.flo"))
+    assert flow.shape == (40, 60, 2)
+    np.testing.assert_allclose(flow[0, 0], [2.0, -1.0])
+
+
 def test_no_gt_dataset_gives_nan():
     eng = StubEngine()
     res = evaluate_pairs(eng, StubDataset(with_gt=False), verbose=False)

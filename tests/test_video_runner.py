@@ -68,6 +68,28 @@ def test_partial_batch_values_match_full(runner):
         np.testing.assert_array_equal(a, b)
 
 
+def test_mesh_sharded_runner_matches():
+    import jax
+    from opticalflow_tpu.parallel import mesh as meshlib
+    model = StubFlow()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 6)))["params"]
+    mesh = meshlib.make_mesh(jax.devices()[:4])
+    r_mesh = VideoFlowRunner(model, params, preset="rgb_unit",
+                             flow_scale=2.0, batch=4, mesh=mesh)
+    r_solo = VideoFlowRunner(model, params, preset="rgb_unit",
+                             flow_scale=2.0, batch=4)
+    frames = _frames(6, h=64, w=64, seed=5)
+    a = [q for _, _, q in r_mesh.run(iter(frames))]
+    b = [q for _, _, q in r_solo.run(iter(frames))]
+    assert len(a) == len(b) == 5
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        VideoFlowRunner(model, params, batch=3, mesh=mesh)
+
+
 def test_preset_applied(runner):
     """flow_scale and preprocessing reach the output: uniform gray frames
     give u = mean(gray/255) * scale."""
