@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("--variant", choices=("new", "old"), default="new")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (f32 flow heads/optimizer)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backprop (less HBM, "
+                        "~30%% more step FLOPs)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--save-every", type=int, default=1, metavar="EPOCHS")
     p.add_argument("--log-every", type=int, default=10, metavar="STEPS")
@@ -102,7 +105,7 @@ def main(argv=None) -> int:
         plateau_patience=args.plateau_patience,
         lambda_photo=args.lambda_photo, lambda_smooth=args.lambda_smooth,
         epi_soft_weight=args.epi_soft_w if args.regime == "epipolar" else 0.0,
-        flow_scale=args.flow_scale)
+        flow_scale=args.flow_scale, remat=args.remat)
 
     model = PWCDCNet(variant=args.variant,
                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -125,7 +128,12 @@ def main(argv=None) -> int:
         if val_ds is not None:
             val_loader = Loader(val_ds, args.batch, shuffle=False,
                                 num_workers=args.workers, seed=args.seed)
-    loader = Loader(ds, args.batch, num_workers=args.workers, seed=args.seed)
+    # device-put prefetch overlaps H2D with compute; the epipolar regime
+    # augments batches on host first, so it stays on numpy
+    prefetch_dev = args.regime != "epipolar"
+    loader = Loader(ds, args.batch, num_workers=args.workers, seed=args.seed,
+                    device_put=prefetch_dev,
+                    sharding=meshlib.batch_sharding(mesh))
 
     start_epoch = 0
     os.makedirs(args.out_dir, exist_ok=True)
@@ -166,7 +174,7 @@ def main(argv=None) -> int:
         for batch in loader:
             if args.regime == "epipolar":
                 batch = _attach_epipolar(model, state, batch, args, epi_keys)
-            batch = meshlib.shard_batch(batch, mesh)
+                batch = meshlib.shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             nsteps += 1
             loss = float(metrics["loss"])

@@ -63,6 +63,10 @@ class TrainConfig:
     # flow2 is in /20 units for the canonical weights; GT-space checkpoints
     # (the reference's own fine-tunes) use 1.0.
     flow_scale: float = 1.0
+    # rematerialize the forward during backprop (jax.checkpoint): trades
+    # ~30% step FLOPs for activation memory — the knob for large crops /
+    # batches that otherwise exhaust HBM.
+    remat: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -143,7 +147,13 @@ def _compute_loss(model, params, batch: Dict[str, jax.Array],
                   cfg: TrainConfig):
     """Dispatch to the configured loss; returns (loss, metrics dict)."""
     x = batch["images"]
-    preds = model.apply({"params": params}, x, train=True)
+
+    def fwd(p, xx):
+        return model.apply({"params": p}, xx, train=True)
+
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd)
+    preds = fwd(params, x)
     flow2 = preds[0] * cfg.flow_scale
     metrics = {}
 
