@@ -55,3 +55,22 @@ def test_loader_device_put():
     assert batches[0]["name"] == ["s0", "s1"]
     np.testing.assert_array_equal(np.asarray(batches[0]["x"]),
                                   [[0, 0, 0], [1, 1, 1]])
+
+
+@pytest.mark.parametrize("layout", ["state_dict", "model", "model_state_dict"])
+def test_importer_tolerates_all_reference_layouts(tmp_path, layout):
+    """The three torch.save layouts in the wild (models/PWCNet.py:500-506,
+    train.py:165-171, train2.py:412-432), with DataParallel prefixes."""
+    import torch
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracles.torch_pwcnet import OraclePWC
+    torch.manual_seed(2)
+    oracle = OraclePWC("new")
+    sd = {f"module.{k}": v for k, v in oracle.state_dict_flat().items()}
+    p = str(tmp_path / "w.pth.tar")
+    torch.save({layout: sd, "epoch": 7}, p)
+    _, params = pwc_dc_net(p)
+    np.testing.assert_allclose(
+        np.asarray(params["dc_conv7"]["bias"]),
+        oracle.m["dc_conv7"].bias.detach().numpy())
