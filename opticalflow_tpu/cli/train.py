@@ -126,7 +126,10 @@ def main(argv=None) -> int:
         from opticalflow_tpu.data.loader import train_val_split
         ds, val_ds = train_val_split(ds, args.val_frac, seed=args.seed)
         if val_ds is not None:
-            val_loader = Loader(val_ds, args.batch, shuffle=False,
+            # keep every val sample: no shuffling, no drop_last, and a batch
+            # no larger than the split itself
+            vb = min(args.batch, len(val_ds))
+            val_loader = Loader(val_ds, vb, shuffle=False, drop_last=False,
                                 num_workers=args.workers, seed=args.seed)
     # device-put prefetch overlaps H2D with compute; the epipolar regime
     # augments batches on host first, so it stays on numpy
@@ -196,11 +199,16 @@ def main(argv=None) -> int:
 
         if val_loader is not None:
             vals = []
-            for vb in val_loader:
+            for vbatch in val_loader:
                 if args.regime == "epipolar":
-                    vb = _attach_epipolar(model, state, vb, args, epi_keys)
-                vm = eval_fn(state.params, meshlib.shard_batch(vb, mesh))
+                    vbatch = _attach_epipolar(model, state, vbatch, args,
+                                              epi_keys)
+                if vbatch["images"].shape[0] % mesh.devices.size == 0:
+                    vbatch = meshlib.shard_batch(vbatch, mesh)
+                vm = eval_fn(state.params, vbatch)
                 vals.append({k: float(v) for k, v in vm.items()})
+            if not vals:
+                continue
             agg = {k: sum(v[k] for v in vals) / len(vals) for k in vals[0]}
             key_metric = agg.get("epe", agg["loss"])
             print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
