@@ -86,3 +86,16 @@ def test_param_count_matches_reference():
                 if "deconv2." not in k)
     assert n == n_ref
     assert 9_000_000 < n < 10_000_000
+
+
+def test_generic_max_displacement_model():
+    """md is a hyperparameter, not a constant: an md=2 model must build and
+    run with (2·2+1)² = 25 correlation channels."""
+    import jax
+    model = PWCDCNet(variant="new", md=2, use_pallas_corr=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 6)))["params"]
+    # estimator input at L6 = nd = 25 channels
+    assert params["conv6_0"]["kernel"].shape[2] == 25
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 6)))
+    assert out.shape == (1, 16, 16, 2)
