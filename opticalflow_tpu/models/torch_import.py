@@ -20,13 +20,15 @@ state_dict so checkpoints trained here remain loadable by the reference.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Mapping
 
 import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["import_checkpoint", "import_state_dict", "export_state_dict",
-           "load_torch_state_dict"]
+           "load_torch_state_dict", "expected_param_shapes",
+           "validate_params"]
 
 # torch modules whose weights need ConvTranspose2d handling
 _DECONV_PREFIXES = ("deconv", "upfeat")
@@ -74,8 +76,77 @@ def _split_torch_key(key: str):
     return None, None
 
 
-def import_state_dict(sd: Mapping[str, np.ndarray], variant: str = "new"):
-    """Convert a flat torch state_dict into the PWCDCNet flax params tree."""
+@functools.lru_cache(maxsize=8)
+def expected_param_shapes(variant: str = "new", md: int = 4):
+    """Expected ``{module: {param: shape}}`` for a PWCDCNet variant.
+
+    Derived by abstract-tracing the flax model (``jax.eval_shape`` — no
+    compute, no device), so it can never drift from the actual architecture.
+    """
+    import jax
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+
+    model = PWCDCNet(variant=variant, md=md)
+    tree = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 64, 64, 6), jnp.float32))["params"]
+    return {mod: {k: tuple(v.shape) for k, v in entry.items()}
+            for mod, entry in tree.items()}
+
+
+def _torch_key(mod: str, kind: str) -> str:
+    """Render a param location in the torch checkpoint's own naming
+    (Sequential convs carry a '.0' index; bare modules don't)."""
+    suffix = "weight" if kind == "kernel" else kind
+    bare = mod.startswith(_BARE_CONV_PREFIXES) or _is_deconv(mod)
+    return f"{mod}.{suffix}" if bare else f"{mod}.0.{suffix}"
+
+
+def validate_params(params: Mapping, unused, variant: str, md: int = 4):
+    """Diff an imported params tree against the model's expected tree.
+
+    Raises ``ValueError`` naming every missing key, unexpected key, and
+    shape mismatch (in torch state_dict naming, so the error is actionable
+    for the checkpoint the user actually has).  A truncated checkpoint or a
+    wrong-variant one fails here with a clear report instead of an opaque
+    flax apply error later (reference's silently-tolerant loads:
+    ``models/PWCNet.py:497-520``, ``train.py:142-154``).
+    """
+    expected = expected_param_shapes(variant, md)
+    missing, unexpected, mismatched = [], list(unused), []
+    for mod, spec in expected.items():
+        got = params.get(mod, {})
+        for kind, shape in spec.items():
+            if kind not in got:
+                missing.append(_torch_key(mod, kind))
+            elif tuple(got[kind].shape) != shape:
+                mismatched.append(
+                    f"{_torch_key(mod, kind)}: got {tuple(got[kind].shape)}"
+                    f" (torch-converted), expected {shape}")
+    unexpected += [_torch_key(mod, kind) for mod in params
+                   if mod not in expected for kind in params[mod]]
+    if missing or unexpected or mismatched:
+        lines = [f"state_dict does not match PWCDCNet variant={variant!r}"
+                 f" md={md}:"]
+        if missing:
+            lines.append("  missing keys: " + ", ".join(sorted(missing)))
+        if unexpected:
+            lines.append("  unexpected keys: " + ", ".join(sorted(unexpected)))
+        if mismatched:
+            lines.append("  shape mismatches:\n    " + "\n    ".join(mismatched))
+        lines.append("  (hint: wrong --variant? truncated checkpoint?"
+                     " pass strict=False to load anyway)")
+        raise ValueError("\n".join(lines))
+
+
+def import_state_dict(sd: Mapping[str, np.ndarray], variant: str = "new",
+                      md: int = 4, strict: bool = True):
+    """Convert a flat torch state_dict into the PWCDCNet flax params tree.
+
+    With ``strict=True`` (default) the result is validated against the
+    model's expected param tree — missing/unexpected keys and shape
+    mismatches raise a ``ValueError`` naming them all.
+    """
     params: Dict[str, Dict[str, jnp.ndarray]] = {}
     unused = []
     for key, val in sd.items():
@@ -86,7 +157,6 @@ def import_state_dict(sd: Mapping[str, np.ndarray], variant: str = "new"):
         if mod == "deconv2":
             # created but never applied in the reference forward
             # (models/PWCNet.py:124 vs :256-268) — skip, matching behavior.
-            unused.append(key)
             continue
         entry = params.setdefault(mod, {})
         if kind == "bias":
@@ -102,13 +172,17 @@ def import_state_dict(sd: Mapping[str, np.ndarray], variant: str = "new"):
             entry["kernel"] = jnp.asarray(np.ascontiguousarray(w))
         else:
             unused.append(key)
+    if strict:
+        validate_params(params, unused, variant, md)
     return params
 
 
-def import_checkpoint(path: str, variant: str = "new"):
+def import_checkpoint(path: str, variant: str = "new", md: int = 4,
+                      strict: bool = True):
     """torch checkpoint file → flax params tree (the reference-weights
     importer demanded by the fidelity target)."""
-    return import_state_dict(load_torch_state_dict(path), variant=variant)
+    return import_state_dict(load_torch_state_dict(path), variant=variant,
+                             md=md, strict=strict)
 
 
 def export_state_dict(params: Mapping, variant: str = "new") -> Dict[str, np.ndarray]:

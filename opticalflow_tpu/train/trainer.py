@@ -118,15 +118,18 @@ class PlateauController:
         if self.bad_epochs < self.patience:
             return state
         self.bad_epochs = 0
-        opt_state = state.opt_state
-        # with grad clip the injected optimizer is the chain's 2nd element
-        idx = 1 if isinstance(opt_state, tuple) and len(opt_state) == 2 else None
-        inner = opt_state[idx] if idx is not None else opt_state
-        new_lr = inner.hyperparams["learning_rate"] * self.factor
-        inner = inner._replace(
-            hyperparams={**inner.hyperparams, "learning_rate": new_lr})
-        if idx is not None:
-            opt_state = (opt_state[0], inner)
+        # locate the injected learning_rate by NAME wherever it sits in the
+        # optax chain (grad-clip on/off, future chain changes) instead of
+        # assuming a tuple position
+        import optax.tree_utils as otu
+        lr = otu.tree_get(state.opt_state, "learning_rate")
+        if lr is None:
+            raise ValueError(
+                "PlateauController: no injected 'learning_rate' in the "
+                "optimizer state — build the optimizer with "
+                "plateau_factor > 0 (optax.inject_hyperparams)")
+        new_lr = lr * self.factor
+        opt_state = otu.tree_set(state.opt_state, learning_rate=new_lr)
         print(f"plateau: learning_rate -> {float(new_lr):.3e}")
         return state.replace(opt_state=opt_state)
 
