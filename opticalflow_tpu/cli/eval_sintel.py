@@ -17,6 +17,9 @@ def build_parser():
     p.add_argument("--flow-scale", type=float, default=20.0)
     p.add_argument("--save-dir", default=None,
                    help="optionally dump predicted flows as .flo files")
+    p.add_argument("--batch", type=int, default=8,
+                   help="pairs per jitted program (multiple of the mesh "
+                        "data axis when sharded)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -32,8 +35,8 @@ def main(argv=None) -> int:
     params = load_params(args.ckpt, variant=args.variant)
     engine = FlowEngine(model, params, flow_scale=args.flow_scale)
     res = evaluate_sintel(engine, args.root, render=args.render,
-                          preset=args.preset, save_dir=args.save_dir,
-                          limit=args.limit)
+                          preset=args.preset, batch=args.batch,
+                          save_dir=args.save_dir, limit=args.limit)
     return 0 if res["num_pairs"] else 1
 
 

@@ -27,6 +27,9 @@ def build_parser():
                    help="1.0 for GT-space checkpoints, 20.0 for canonical")
     p.add_argument("--save-dir", default=None,
                    help="optionally dump predicted flows as KITTI PNGs")
+    p.add_argument("--batch", type=int, default=8,
+                   help="pairs per jitted program (multiple of the mesh "
+                        "data axis when sharded)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -43,7 +46,8 @@ def main(argv=None) -> int:
     engine = FlowEngine(model, params, flow_scale=args.flow_scale)
     res = evaluate_kitti(engine, args.root, year=args.year,
                          flow_kind=args.flow_kind, preset=args.preset,
-                         save_dir=args.save_dir, limit=args.limit)
+                         batch=args.batch, save_dir=args.save_dir,
+                         limit=args.limit)
     return 0 if res["num_pairs"] else 1
 
 

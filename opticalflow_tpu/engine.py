@@ -107,25 +107,46 @@ class FlowEngine:
         (``inference_kitti.py:208-224``): replicate-pad, infer, upsample to
         the padded size (align_corners=True like flow_resize), crop.
         """
-        h, w = im1.shape[:2]
+        return self.flow_from_pairs([im1], [im2], preset=preset,
+                                    size_mode=size_mode)[0]
+
+    def flow_from_pairs(self, im1s, im2s, *, preset: str = "bgr_unit",
+                        size_mode: str = "resize") -> np.ndarray:
+        """Batched :meth:`flow_from_pair`: N frame pairs of ONE common
+        original shape → (N, H, W, 2), through a single jitted program per
+        (N, shape).  Constant-shape datasets (KITTI 1242×375, Sintel
+        436×1024) evaluate as full batches instead of the reference's
+        per-pair batch-1 loop (``inference_kitti.py:227-263``).  With a mesh,
+        N must divide the ``data`` axis size.
+        """
+        if len(im1s) != len(im2s) or not im1s:
+            raise ValueError("im1s/im2s must be equal-length, non-empty")
+        h, w = im1s[0].shape[:2]
+        for im in (*im1s, *im2s):
+            if im.shape[:2] != (h, w):
+                raise ValueError(
+                    "flow_from_pairs needs one common frame shape per call; "
+                    f"got {im.shape[:2]} vs {(h, w)} — group by shape first")
         if size_mode == "resize":
-            r1, _, _ = imio.resize_to_multiple_of_64(im1)
-            r2, _, _ = imio.resize_to_multiple_of_64(im2)
-            h64, w64 = r1.shape[:2]
-            x = imio.preprocess_pair(r1, r2, preset)
+            r1s = [imio.resize_to_multiple_of_64(im)[0] for im in im1s]
+            r2s = [imio.resize_to_multiple_of_64(im)[0] for im in im2s]
+            h64, w64 = r1s[0].shape[:2]
+            x = np.concatenate([imio.preprocess_pair(a, b, preset)
+                                for a, b in zip(r1s, r2s)], axis=0)
             q = self._quarter_flow(self.params, jnp.asarray(x))
             flow = self._quarter_to_size(
                 q, jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
                 height=h, width=w)
-            return np.asarray(flow[0])
+            return np.asarray(flow)
         if size_mode == "pad":
-            x = imio.preprocess_pair(im1, im2, preset)
+            x = np.concatenate([imio.preprocess_pair(a, b, preset)
+                                for a, b in zip(im1s, im2s)], axis=0)
             xp, _, _ = imio.pad_to_multiple_of_64(x)
             hp, wp = xp.shape[1:3]
             q = self._quarter_flow(self.params, jnp.asarray(xp))
             full = self._quarter_to_full(q, height=hp, width=wp,
                                          align_corners=True)
-            return np.asarray(full[0, :h, :w])
+            return np.asarray(full[:, :h, :w])
         raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
 
     def warmup(self, height: int, width: int, batch: int = 1) -> None:

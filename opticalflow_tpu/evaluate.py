@@ -22,22 +22,50 @@ __all__ = ["evaluate_pairs", "evaluate_kitti", "evaluate_sintel"]
 
 def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
                    size_mode: str = "pad",
+                   batch: int = 8,
                    save_dir: Optional[str] = None,
                    save_format: str = "kitti_png",
                    limit: Optional[int] = None,
                    verbose: bool = True) -> Dict[str, float]:
     """Evaluate any dataset yielding {im1, im2, stem[, flow[, valid]]}.
 
+    Pairs are grouped by frame shape and pushed through
+    ``engine.flow_from_pairs`` ``batch`` at a time — one jitted program per
+    (batch, shape), with the final partial chunk padded to the compiled batch
+    size (its extra outputs discarded).  Per-pair metrics are unchanged from
+    the reference semantics.  With a sharded engine, ``batch`` must be a
+    multiple of the mesh's ``data`` axis.
+
     ``size_mode``: "pad" replicates ``inference_kitti.py`` (v2, the better
     pipeline); "resize" replicates the distorting-resize convention of
     ``inference.py`` (v1) and ``script_pwc.py``.  Returns {"epe": mean,
     "fl_all": mean%} (NaN-mean over pairs, like the reference)."""
-    epes, fls = [], []
+    batch = max(1, int(batch))
     n = len(dataset) if limit is None else min(limit, len(dataset))
-    for i in range(n):
-        s = dataset[i]
-        flow = engine.flow_from_pair(s["im1"], s["im2"], preset=preset,
-                                     size_mode=size_mode)
+
+    # group indices by frame shape so each group batches at constant shape
+    # (KITTI/Sintel are constant-shape; mixed datasets still work)
+    groups: Dict[tuple, list] = {}
+    samples = [dataset[i] for i in range(n)]
+    for i, s in enumerate(samples):
+        groups.setdefault(tuple(s["im1"].shape), []).append(i)
+
+    results = {}
+    for idxs in groups.values():
+        for start in range(0, len(idxs), batch):
+            chunk = idxs[start:start + batch]
+            # pad the final chunk to the compiled batch size
+            padded = chunk + [chunk[-1]] * (batch - len(chunk))
+            flows = engine.flow_from_pairs(
+                [samples[i]["im1"] for i in padded],
+                [samples[i]["im2"] for i in padded],
+                preset=preset, size_mode=size_mode)
+            for k, i in enumerate(chunk):
+                results[i] = np.asarray(flows[k])
+
+    epes, fls = [], []
+    for i, s in enumerate(samples):
+        flow = results[i]
         if save_dir:
             import os
             os.makedirs(save_dir, exist_ok=True)
@@ -70,22 +98,24 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
 
 def evaluate_kitti(engine, root: str, *, year: int = 2015,
                    flow_kind: str = "flow_occ", preset: str = "rgb_imagenet",
+                   batch: int = 8,
                    save_dir: Optional[str] = None,
                    limit: Optional[int] = None) -> Dict[str, float]:
     """KITTI sparse-GT evaluation (1242×375, replicate-pad to /64)."""
     from opticalflow_tpu.data.datasets import KittiPairsEval
     ds = KittiPairsEval(root, year=year, flow_kind=flow_kind)
-    return evaluate_pairs(engine, ds, preset=preset, save_dir=save_dir,
-                          limit=limit)
+    return evaluate_pairs(engine, ds, preset=preset, batch=batch,
+                          save_dir=save_dir, limit=limit)
 
 
 def evaluate_sintel(engine, root: str, *, render: str = "clean",
                     preset: str = "bgr_unit",
+                    batch: int = 8,
                     save_dir: Optional[str] = None,
                     limit: Optional[int] = None) -> Dict[str, float]:
     """MPI-Sintel clean/final EPE over the training split (dense GT);
     optionally dump predictions as Middlebury .flo files."""
     from opticalflow_tpu.data.datasets import SintelPairs
     ds = SintelPairs(root, render=render)
-    return evaluate_pairs(engine, ds, preset=preset, save_dir=save_dir,
-                          save_format="flo", limit=limit)
+    return evaluate_pairs(engine, ds, preset=preset, batch=batch,
+                          save_dir=save_dir, save_format="flo", limit=limit)

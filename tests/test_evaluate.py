@@ -7,16 +7,17 @@ from opticalflow_tpu.evaluate import evaluate_pairs
 
 
 class StubEngine:
-    """Returns a constant flow; records calls."""
+    """Returns a constant flow; records batched calls."""
 
     def __init__(self, flow_uv=(2.0, -1.0)):
         self.flow_uv = flow_uv
         self.calls = []
 
-    def flow_from_pair(self, im1, im2, preset="bgr_unit", size_mode="pad"):
-        self.calls.append((im1.shape, preset, size_mode))
-        h, w = im1.shape[:2]
-        return np.tile(np.asarray(self.flow_uv, np.float32), (h, w, 1))
+    def flow_from_pairs(self, im1s, im2s, preset="bgr_unit", size_mode="pad"):
+        self.calls.append((len(im1s), im1s[0].shape, preset, size_mode))
+        h, w = im1s[0].shape[:2]
+        return np.tile(np.asarray(self.flow_uv, np.float32),
+                       (len(im1s), h, w, 1))
 
 
 class StubDataset:
@@ -46,7 +47,32 @@ def test_perfect_prediction_scores_zero():
     assert res["epe"] == pytest.approx(0.0)
     assert res["fl_all"] == pytest.approx(0.0)
     assert res["num_pairs"] == 3
-    assert all(c[2] == "pad" for c in eng.calls)
+    assert all(c[3] == "pad" for c in eng.calls)
+
+
+def test_batching_pads_final_chunk():
+    """3 samples at batch=2 → two calls of exactly 2 pairs each (the final
+    chunk is padded to the compiled batch size, one compile per run)."""
+    eng = StubEngine()
+    res = evaluate_pairs(eng, StubDataset(3), batch=2, verbose=False)
+    assert [c[0] for c in eng.calls] == [2, 2]
+    assert res["num_pairs"] == 3
+    assert res["epe"] == pytest.approx(0.0)
+
+
+def test_batching_groups_by_shape():
+    """Mixed-shape datasets batch per shape group, never across."""
+    ds = StubDataset(4)
+    ds.samples[2]["im1"] = ds.samples[2]["im1"][:32]   # 32x60 frame
+    ds.samples[2]["im2"] = ds.samples[2]["im2"][:32]
+    ds.samples[2]["flow"] = ds.samples[2]["flow"][:32]
+    ds.samples[2]["valid"] = ds.samples[2]["valid"][:32]
+    eng = StubEngine()
+    res = evaluate_pairs(eng, ds, batch=4, verbose=False)
+    shapes = sorted(c[1][:2] for c in eng.calls)
+    assert shapes == [(32, 60), (40, 60)]
+    assert res["epe"] == pytest.approx(0.0)
+    assert res["num_pairs"] == 4
 
 
 def test_wrong_prediction_scores_epe():
@@ -62,7 +88,7 @@ def test_limit_and_size_mode_and_save(tmp_path):
     res = evaluate_pairs(eng, StubDataset(), size_mode="resize", limit=2,
                          save_dir=str(tmp_path), verbose=False)
     assert res["num_pairs"] == 2
-    assert all(c[2] == "resize" for c in eng.calls)
+    assert all(c[3] == "resize" for c in eng.calls)
     assert sorted(p.name for p in tmp_path.iterdir()) == ["s0.png", "s1.png"]
 
 
