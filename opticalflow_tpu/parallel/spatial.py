@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["plan_tiles", "tiled_quarter_flow"]
+__all__ = ["plan_tiles", "tiled_quarter_flow", "halo_exchange_quarter_flow"]
 
 
 def plan_tiles(height: int, tile_h: int = 256, halo: int = 64):
@@ -77,10 +77,14 @@ def tiled_quarter_flow(model, params, x: jax.Array, *, tile_h: int = 256,
     if mesh is not None:
         from opticalflow_tpu.parallel.mesh import batch_sharding, replicated
         n_dev = mesh.devices.size
-        if stacked.shape[0] % n_dev == 0:
-            stacked = jax.device_put(stacked, batch_sharding(mesh))
-        # tile-batch not divisible by the mesh: keep it unsharded (single
-        # device) rather than failing — callers pick tile_h to match
+        if stacked.shape[0] % n_dev:
+            # refusing beats silently running unsharded at 1/n throughput
+            raise ValueError(
+                f"tile batch {stacked.shape[0]} (= {len(slices)} tiles × "
+                f"batch {b}) is not divisible by the {n_dev}-device mesh — "
+                f"pick tile_h so tiles×batch is a multiple of {n_dev}, or "
+                f"use halo_exchange_quarter_flow (shards H directly)")
+        stacked = jax.device_put(stacked, batch_sharding(mesh))
         params = jax.device_put(params, replicated(mesh))
 
     @jax.jit
@@ -95,3 +99,83 @@ def tiled_quarter_flow(model, params, x: jax.Array, *, tile_h: int = 256,
         q0 = (c0 - y0) // 4
         parts.append(tile_q[:, q0:q0 + (c1 - c0) // 4])
     return jnp.concatenate(parts, axis=1)
+
+
+def halo_exchange_quarter_flow(model, params, x: jax.Array, *,
+                               halo: int = 64,
+                               mesh: jax.sharding.Mesh = None,
+                               axis_name: Optional[str] = None) -> jax.Array:
+    """Quarter-resolution flow with H sharded over the mesh via ``shard_map``
+    + ``ppermute`` halo exchange — the SP analogue done with collectives.
+
+    Each device owns a contiguous H-slab of the input (B, H/n, W, 6),
+    receives ``halo`` rows from each neighbor over ICI (``lax.ppermute``),
+    runs the full network on its extended slab, and keeps the core quarter
+    rows; the output sharding stitches the global (B, H/4, W/4, 2) flow.
+    Unlike :func:`tiled_quarter_flow` (halo *recompute*, tile batch rides
+    the data axis) this exchanges real rows between devices, so the whole
+    image is held once across the mesh — the fit-anything path.
+
+    Accuracy: interior seams see real neighbor context (same ~halo-bounded
+    approximation as tiled inference: the coarsest pyramid level's receptive
+    field exceeds any practical halo).  Image borders are EXACT: each edge
+    device slides its compute window so the true border sits at the window
+    edge (2·halo rows arrive from its single neighbor instead of halo from
+    each side), reproducing the monolithic conv zero-padding there — the
+    same trick as :func:`tiled_quarter_flow`'s inward re-extension of border
+    tiles.
+
+    Requires ``H % n == 0``, ``(H/n) % 64 == 0``, ``halo % 64 == 0`` and
+    ``H/n ≥ 2·halo``.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        raise ValueError("halo_exchange_quarter_flow requires a mesh")
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    b, h, w, c = x.shape
+    if h % n or (h // n) % 64 or halo % 64:
+        raise ValueError(
+            f"H={h} must split into {n} slabs of a /64 height with a /64 "
+            f"halo (got slab {h // n if h % n == 0 else 'non-integer'}, "
+            f"halo {halo})")
+    loc = h // n
+    if n == 1:
+        # degenerate mesh: the monolithic forward is the exact answer
+        return jax.jit(lambda p, xx: model.apply({"params": p}, xx))(
+            params, jnp.asarray(x))
+    two = 2 * halo
+    if loc < two:
+        raise ValueError(
+            f"slab height {loc} must be ≥ 2·halo = {two} (edge devices "
+            f"borrow a double halo from their single neighbor)")
+
+    def local_fn(p, xs):
+        # xs: (B, loc, W, 6) — this device's slab
+        idx = jax.lax.axis_index(axis)
+        # 2·halo-row blocks from each neighbor (edge devices receive zeros
+        # on their missing side, never used: the window slides off them)
+        from_above = jax.lax.ppermute(
+            xs[:, loc - two:], axis, [(i, i + 1) for i in range(n - 1)])
+        from_below = jax.lax.ppermute(
+            xs[:, :two], axis, [(i + 1, i) for i in range(n - 1)])
+        cat = jnp.concatenate([from_above, xs, from_below], axis=1)
+        # window of loc+2·halo rows: interior devices center it (halo each
+        # side); device 0 starts at its true top border, device n-1 ends at
+        # its true bottom border — borders match the monolithic forward
+        start = jnp.where(idx == 0, two,
+                          jnp.where(idx == n - 1, 0, halo))
+        ext = jax.lax.dynamic_slice_in_dim(cat, start, loc + two, axis=1)
+        q = model.apply({"params": p}, ext)  # (B, (loc+2·halo)/4, W/4, 2)
+        q0 = (two - start) // 4              # xs's origin within the window
+        return jax.lax.dynamic_slice_in_dim(q, q0, loc // 4, axis=1)
+
+    fwd = shard_map(local_fn, mesh=mesh,
+                    in_specs=(P(), P(None, axis)),
+                    out_specs=P(None, axis))
+    return jax.jit(fwd)(params, jnp.asarray(x))
