@@ -22,8 +22,15 @@ Design (see /opt/skills/guides/pallas_guide.md):
   * HBM traffic win vs the unrolled lax fallback: f1/f2 are read once
     instead of once per displacement (81×).
 
-Images whose padded f2 level exceeds the VMEM budget fall back to the lax
-path via :func:`supported`.
+Two f2 strategies, picked automatically per shape:
+
+  * **resident** — the whole padded f2 image rides as a constant-index VMEM
+    block (fetched from HBM once per batch item); used when it fits;
+  * **windowed** — f2 stays in HBM (``memory_space=ANY``) and each grid step
+    DMAs its (tile + 2·md)-row halo window into VMEM scratch
+    (``pltpu.make_async_copy``).  Removes the old VMEM gate: ≥1080p levels
+    that previously fell back to the 81×-HBM-reads lax path now run in
+    Pallas at ~1.25× the resident path's HBM traffic.
 
 The op is wrapped in ``jax.custom_vjp``; the backward pass is expressed in
 pure lax as two correlation-like gather sums (no scatters — SURVEY.md §7
@@ -57,13 +64,24 @@ def _f2_bytes(shape, md: int, itemsize: int) -> int:
 
 
 def supported(x: jax.Array, md: int = 4) -> bool:
-    """Pallas path availability: TPU backend, f2 level fits in VMEM."""
+    """Pallas path availability: TPU backend + a workable row tiling.
+
+    The windowed-DMA strategy needs only one halo window in VMEM, so any
+    practical level shape qualifies (no more silent lax fallback at 1080p+);
+    the gate now only rejects degenerate geometries (H not tileable, or a
+    single padded row too wide for VMEM)."""
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:  # pragma: no cover
         return False
-    return _f2_bytes(x.shape, md, x.dtype.itemsize) <= 8 * 1024 * 1024
+    _, h, w, c = x.shape
+    if h % 8 and h > 8:
+        return False
+    # one window row must fit comfortably: (c, w+2md) f32 + temporaries
+    wl = -(-(w + 2 * md) // 128) * 128
+    cs = -(-c // 8) * 8
+    return (2 * md + 8) * cs * wl * 4 * 4 <= _VMEM_BUDGET
 
 
 def _row_tile(h: int, w: int, c: int, nd2: int, f2_bytes: int,
@@ -115,29 +133,89 @@ def _fwd_kernel(md, th, w, c, f1_ref, f2_ref, out_ref):
                 jnp.sum(f1 * sl, axis=1) * inv_c).astype(out_ref.dtype)
 
 
+def _fwd_kernel_windowed(md, th, w, c, f1_ref, f2_hbm, out_ref,
+                         win_ref, sem):
+    """Windowed variant: f2 lives in HBM; each grid step DMAs its halo
+    window (th+2·md rows) into VMEM scratch, then computes as the resident
+    kernel does.  Compute per step is identical; only f2 residency differs.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        f2_hbm.at[bb, pl.ds(i * th, th + 2 * md)], win_ref, sem)
+    cp.start()
+    f1 = f1_ref[0].astype(jnp.float32)                     # (th, c, w)
+    cp.wait()
+    win = win_ref[:]                                       # (th+2md, c, wp)
+
+    inv_c = 1.0 / c
+    nd = 2 * md + 1
+    for ti in range(nd):
+        col = win[:, :, ti:ti + w].astype(jnp.float32)
+        for tj in range(nd):
+            sl = col[tj:tj + th]
+            out_ref[0, tj * nd + ti] = (
+                jnp.sum(f1 * sl, axis=1) * inv_c).astype(out_ref.dtype)
+
+
+def _row_tile_windowed(h: int, w: int, c: int, nd2: int, md: int,
+                       itemsize: int) -> int:
+    """Largest row tile whose f1 tile + f2 window + out tile fit VMEM."""
+    wl = -(-(w + 2 * md) // 128) * 128
+    cs = -(-c // 8) * 8
+
+    def fits(tile):
+        winb = (tile + 2 * md) * cs * wl * itemsize
+        f1b = tile * cs * wl * itemsize
+        outb = nd2 * tile * wl * 4
+        prodb = 2 * (tile + 2 * md) * cs * wl * 4
+        return winb + f1b + outb + prodb <= _VMEM_BUDGET
+
+    for tile in (t for t in (64, 56, 48, 40, 32, 24, 16, 8) if h % t == 0):
+        if fits(tile):
+            return tile
+    return 8 if h % 8 == 0 else h
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def correlation_pallas(f1: jax.Array, f2: jax.Array,
                        max_displacement: int = 4) -> jax.Array:
     return _corr_fwd_impl(f1, f2, max_displacement)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   force_windowed: bool = False) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = f1.shape
     nd2 = (2 * md + 1) ** 2
     f2b = _f2_bytes(f1.shape, md, f1.dtype.itemsize)
-    th = _row_tile(h, w, c, nd2, f2b, f1.dtype.itemsize)
+    resident = not force_windowed and f2b <= 8 * 1024 * 1024
 
     # NHWC -> (B, H, C, W): W on lanes, C on sublanes
     f1t = jnp.transpose(f1, (0, 1, 3, 2))
     f2t = jnp.transpose(f2, (0, 1, 3, 2))
     f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, 0), (md, md)))
     hp, wp = h + 2 * md, w + 2 * md
-    kernel = functools.partial(_fwd_kernel, md, th, w, c)
+
+    if resident:
+        th = _row_tile(h, w, c, nd2, f2b, f1.dtype.itemsize)
+        kernel = functools.partial(_fwd_kernel, md, th, w, c)
+        f2_spec = pl.BlockSpec((1, hp, c, wp), lambda bb, ii: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        th = _row_tile_windowed(h, w, c, nd2, md, f1.dtype.itemsize)
+        kernel = functools.partial(_fwd_kernel_windowed, md, th, w, c)
+        f2_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((th + 2 * md, c, wp), f1.dtype),
+                   pltpu.SemaphoreType.DMA(())]
 
     out = pl.pallas_call(
         kernel,
@@ -145,13 +223,13 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
         in_specs=[
             pl.BlockSpec((1, th, c, w), lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, c, wp), lambda bb, ii: (bb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            f2_spec,
         ],
         out_specs=pl.BlockSpec((1, nd2, th, w),
                                lambda bb, ii: (bb, 0, ii, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nd2, h, w), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(f1t, f2p)
     return jnp.transpose(out, (0, 2, 3, 1))  # -> NHWC cost volume
