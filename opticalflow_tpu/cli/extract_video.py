@@ -29,6 +29,9 @@ def build_parser():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--step", type=int, default=16, help="arrow grid stride")
     p.add_argument("--arrow-scale", type=float, default=1.0)
+    p.add_argument("--shrink", type=float, default=1.0,
+                   help="vanish mode: shrink-to-center canvas ratio (<1 "
+                        "shows off-frame vanishing points on black margin)")
     p.add_argument("--compare-method", default="farneback",
                    choices=("farneback", "dis", "lucaskanade_dense"))
     p.add_argument("--max-frames", type=int, default=None)
@@ -47,7 +50,8 @@ def main(argv=None) -> int:
     from opticalflow_tpu.viz import overlay as ov
     from opticalflow_tpu.viz.colorwheel import flow_to_color
     from opticalflow_tpu.viz.vanishing import (estimate_vanishing_point,
-                                               draw_vanishing_point)
+                                               draw_vanishing_point,
+                                               vanish_frame)
     from opticalflow_tpu.viz import topview as tv
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -89,9 +93,16 @@ def main(argv=None) -> int:
             out = ov.side_by_side(frame, flow_to_color(full)[..., ::-1])
         elif args.mode == "vanish":
             full = ov.resize_flow_np(qflow, h, w)
-            out = ov.arrow_overlay(frame, full, step=args.step,
-                                   scale=args.arrow_scale)
-            out = draw_vanishing_point(out, estimate_vanishing_point(full))
+            if args.shrink < 1.0:
+                out = vanish_frame(frame, full, step=args.step,
+                                   scale=args.arrow_scale,
+                                   shrink_ratio=args.shrink,
+                                   title="PWC-Net VP (TPU)")
+            else:
+                out = ov.arrow_overlay(frame, full, step=args.step,
+                                       scale=args.arrow_scale)
+                out = draw_vanishing_point(out,
+                                           estimate_vanishing_point(full))
         elif args.mode == "compare":
             left = ov.arrow_overlay(frame, qflow, step=args.step,
                                     scale=args.arrow_scale, title="PWC-Net")

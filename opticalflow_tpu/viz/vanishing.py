@@ -17,7 +17,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["estimate_vanishing_point", "draw_vanishing_point"]
+__all__ = ["estimate_vanishing_point", "draw_vanishing_point",
+           "vanish_frame"]
 
 
 def _sample_vectors(flow: np.ndarray, step: int, min_mag: float):
@@ -114,4 +115,73 @@ def draw_vanishing_point(frame_bgr: np.ndarray, vp, *,
     cv2.line(out, (cx, cy - 18), (cx, cy + 18), color, 2)
     cv2.putText(out, f"p={prob:.2f}", (cx + 16, cy - 12),
                 cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2, cv2.LINE_AA)
+    return out
+
+
+def vanish_frame(frame_bgr: np.ndarray, flow: np.ndarray, *,
+                 step: int = 16, scale: float = 1.0, min_mag: float = 1.0,
+                 shrink_ratio: float = 0.75, title: Optional[str] = None,
+                 arrow_color=(0, 0, 255),
+                 draw_vp: bool = True) -> np.ndarray:
+    """The reference's extended quiver frame
+    (``pwc_extract_flow_video_vanishpoint.py:258-382``): the frame is shrunk
+    by ``shrink_ratio`` onto a black canvas of the original size, arrows and
+    the vanishing-point marker are drawn in the shrunken coordinate system
+    (so off-frame VPs inside the margin become visible), plus a title chip.
+    ``shrink_ratio >= 1`` draws on the frame directly.
+    """
+    import cv2
+    h, w = frame_bgr.shape[:2]
+    if flow.shape[:2] != (h, w):
+        from opticalflow_tpu.viz.overlay import resize_flow_np
+        flow = resize_flow_np(flow, h, w)
+
+    out = np.zeros_like(frame_bgr)
+    if shrink_ratio < 1.0:
+        nw = max(int(w * shrink_ratio), 1)
+        nh = max(int(h * shrink_ratio), 1)
+        small = cv2.resize(frame_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        ox, oy = (w - nw) // 2, (h - nh) // 2
+        out[oy:oy + nh, ox:ox + nw] = small
+        s = nw / float(w)
+    else:
+        out[:] = frame_bgr
+        ox = oy = 0
+        s = 1.0
+
+    inv = 1.0 / max(scale, 1e-6)
+    for y in range(0, h, step):
+        for x in range(0, w, step):
+            dx, dy = float(flow[y, x, 0]), float(flow[y, x, 1])
+            if dx * dx + dy * dy < min_mag * min_mag:
+                continue
+            x0 = int(round(ox + x * s))
+            y0 = int(round(oy + y * s))
+            x1 = int(round(ox + (x + dx * inv) * s))
+            y1 = int(round(oy + (y + dy * inv) * s))
+            if not (0 <= x0 < w and 0 <= y0 < h
+                    and 0 <= x1 < w and 0 <= y1 < h):
+                continue
+            cv2.arrowedLine(out, (x0, y0), (x1, y1), arrow_color,
+                            thickness=1, tipLength=0.3)
+
+    if draw_vp:
+        vp = estimate_vanishing_point(flow, step=step, min_mag=min_mag)
+        if vp is not None and np.isfinite(vp[0]) and np.isfinite(vp[1]):
+            vx, vy, prob = vp
+            vxs = int(round(ox + vx * s))
+            vys = int(round(oy + vy * s))
+            if 0 <= vxs < w and 0 <= vys < h:
+                color = (0, 255, 255)
+                cv2.circle(out, (vxs, vys), 8, color, 3)
+                cv2.line(out, (vxs - 15, vys), (vxs + 15, vys), color, 2)
+                cv2.line(out, (vxs, vys - 15), (vxs, vys + 15), color, 2)
+                cv2.putText(out, f"p={prob:.2f}", (vxs + 10, vys - 10),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2,
+                            cv2.LINE_AA)
+
+    if title:
+        cv2.rectangle(out, (10, 10), (10 + len(title) * 12, 40), (0, 0, 0), -1)
+        cv2.putText(out, title, (14, 35), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                    (255, 255, 255), 2, cv2.LINE_AA)
     return out
