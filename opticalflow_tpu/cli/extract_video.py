@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
                    default="bfloat16")
+    p.add_argument("--complexity", action="store_true",
+                   help="print the per-layer params/FLOPs table at model "
+                        "load (the reference's ptflops print)")
     return p
 
 
@@ -59,6 +62,16 @@ def main(argv=None) -> int:
                      precision="fast" if args.dtype == "bfloat16"
                      else "highest")
     params = load_params(args.ckpt, variant=args.variant)
+    if args.complexity:
+        from opticalflow_tpu.utils.profiling import (model_complexity,
+                                                     per_layer_complexity)
+        print(per_layer_complexity(PWCDCNet(variant=args.variant,
+                                            use_pallas_corr=False)))
+        rep = model_complexity(PWCDCNet(variant=args.variant,
+                                        use_pallas_corr=False), params)
+        print(f"params: {rep['params_m']:.2f} M"
+              + (f"   {rep['gmacs']:.1f} GMac @ {rep['input_shape']}"
+                 if 'gmacs' in rep else ""))
     from opticalflow_tpu.utils.profiling import param_count
     print(f"model: PWCDCNet[{args.variant}] {param_count(params)/1e6:.2f}M "
           f"params, {args.dtype}")  # the reference prints ptflops at load

@@ -62,6 +62,17 @@ def model_complexity(model, params, input_shape=(1, 384, 512, 6)) -> Dict:
     return out
 
 
+def per_layer_complexity(model, input_shape=(1, 384, 512, 6)) -> str:
+    """Per-layer params/FLOPs/output-shape table (the reference's ptflops
+    per-layer print, ``pwc_extract_flow_video.py:178-184``), rendered via
+    ``flax.linen.tabulate`` with XLA-cost-analysis FLOPs per module."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    fn = nn.tabulate(model, jax.random.PRNGKey(0), compute_flops=True,
+                     depth=1, console_kwargs={"width": 200})
+    return fn(jnp.zeros(input_shape, jnp.float32))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device trace viewable in Perfetto/TensorBoard."""

@@ -74,3 +74,14 @@ def test_selfsup_metrics(small_model):
     assert 0.0 <= float(m["oob_ratio"]) <= 1.0
     assert np.isfinite(float(m["photometric"]))
     assert np.isfinite(float(m["fb_cycle"]))
+
+
+def test_per_layer_complexity_table(small_model):
+    """The reference prints per-layer MACs/params at model load
+    (pwc_extract_flow_video.py:178-184); ours must list every module with
+    per-module FLOPs, not just the aggregate."""
+    model, _ = small_model
+    txt = profiling.per_layer_complexity(model, (1, 64, 64, 6))
+    for mod in ("conv1a", "conv6b", "conv2_4", "predict_flow2", "dc_conv7"):
+        assert mod in txt, mod
+    assert "flops" in txt and "params" in txt

