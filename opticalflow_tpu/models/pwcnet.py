@@ -140,6 +140,20 @@ class Deconv(nn.Module):
         return y.astype(jnp.float32) + b
 
 
+class _RawParams(nn.Module):
+    """Declares a conv's kernel+bias without applying it — keeps the param
+    tree identical when an optimized execution path (blocked convs, fused
+    estimator) consumes the weights directly."""
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _kaiming, self.kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],),
+                       jnp.float32)
+        return k, b
+
+
 class PWCDCNet(nn.Module):
     """PWC-DC network (both the current and the ``_old`` reference variants).
 
@@ -156,6 +170,18 @@ class PWCDCNet(nn.Module):
     # "fast": backend-default single-pass math (training / throughput).
     precision: str = "highest"
     use_pallas_corr: bool = True
+    # space-to-depth execution of the lane-starved level-1 convs (fast mode
+    # only; 2.2x on the lvl1+conv2a chain, PERF.md). Exact re-indexing —
+    # disabled automatically in "highest" mode and for the old variant.
+    use_blocked_lvl1: bool = True
+    # fused Pallas dense-block+heads kernel at level 2 (fast mode + TPU):
+    # the 565-channel feature stack stays in VMEM, only predict_flow2 and
+    # dc_conv1 outputs reach HBM (see ops/pallas_dense.py). Default OFF —
+    # measured SLOWER than XLA on v5e (63.5 vs 41.6 ms standalone at B=32:
+    # the 6-deep halo recompute at VMEM-feasible row tiles costs more than
+    # the concat traffic it saves; PERF.md round-2 log). Kept for revisit
+    # with cross-tile reuse; correctness is fully tested.
+    use_fused_estimator: bool = False
 
     def _corr(self, a, b):
         # the kernel accumulates in f32 internally; bf16 inputs ride as-is
@@ -183,11 +209,79 @@ class PWCDCNet(nn.Module):
             x = jnp.concatenate((y, x) if cf else (x, y), axis=-1)
         return x
 
+    def _blocked_lvl1(self, im):
+        """Level-1 trio + conv2a in 2×2-block (space-to-depth) form: 64
+        output lanes at 1/4 the spatial positions; the un-blocked level-1
+        tensor never materializes (it feeds nothing but conv2a)."""
+        from opticalflow_tpu.ops import blocked as BL
+        dt = self.dtype
+        k1a, b1a = _RawParams((3, 3, 3, 16), name="conv1a")()
+        k1aa, b1aa = _RawParams((3, 3, 16, 16), name="conv1aa")()
+        k1b, b1b = _RawParams((3, 3, 16, 16), name="conv1b")()
+        k2a, b2a = _RawParams((3, 3, 16, 32), name="conv2a")()
+        y = BL.conv_blocked_s2(im.astype(dt),
+                               BL.blocked_s2_kernel(k1a).astype(dt),
+                               out_dtype=jnp.float32)
+        y = leaky_relu(y + BL.to_blocked_bias(b1a)).astype(dt)
+        y = leaky_relu(
+            BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k1aa).astype(dt),
+                               out_dtype=jnp.float32)
+            + BL.to_blocked_bias(b1aa)).astype(dt)
+        y = leaky_relu(
+            BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k1b).astype(dt),
+                               out_dtype=jnp.float32)
+            + BL.to_blocked_bias(b1b)).astype(dt)
+        return leaky_relu(
+            BL.conv_blocked_consumer(y, BL.blocked_consumer_kernel(k2a)
+                                     .astype(dt), out_dtype=jnp.float32)
+            + b2a).astype(dt)
+
+    def _use_fused(self, xin) -> bool:
+        from opticalflow_tpu.ops.pallas_dense import fused_supported
+        return (self.variant == "new" and self.precision == "fast"
+                and self.use_fused_estimator and fused_supported(xin))
+
+    def _fused_level2(self, xin):
+        """Level-2 estimator + heads through the fused Pallas kernel
+        (ops/pallas_dense.py): returns (flow2, dc_conv1 output); the
+        565-channel feature stack never leaves VMEM."""
+        from opticalflow_tpu.ops.pallas_dense import fused_dense_heads
+        cws, cbs = [], []
+        cin = xin.shape[-1]
+        for i, feats_n in enumerate(ESTIMATOR_CHANNELS):
+            k, b = _RawParams((3, 3, cin, feats_n), name=f"conv2_{i}")()
+            cws.append(k.astype(self.dtype))
+            cbs.append(b)
+            cin += feats_n
+        kpf, bpf = _RawParams((3, 3, cin, 2), name="predict_flow2")()
+        kdc, bdc = _RawParams((3, 3, cin, 128), name="dc_conv1")()
+        pf_raw, dc1 = fused_dense_heads(
+            xin.astype(self.dtype), tuple(cws), tuple(cbs),
+            (kpf.astype(self.dtype), kdc.astype(self.dtype)),
+            (None, bdc), (False, True))
+        # predict_flow convention: raw conv in compute dtype, f32 bias-add
+        # promotes the flow to float32 (see PredictFlow)
+        return pf_raw.astype(jnp.float32) + bpf, dc1
+
     def _pyramid(self, im):
-        """Siamese feature pyramid; returns features at levels 1..6."""
+        """Siamese feature pyramid; returns features at levels 1..6
+        (level-1 entry is None on the blocked fast path — nothing reads it)."""
         feats = []
-        x = im
-        for lvl in range(1, 7):
+        blocked = (self.variant == "new" and self.precision == "fast"
+                   and self.use_blocked_lvl1
+                   and im.shape[1] % 4 == 0 and im.shape[2] % 4 == 0)
+        if blocked:
+            x = self._blocked_lvl1(im)
+            feats.append(None)
+            for name in ("conv2aa", "conv2b"):
+                x = ConvLR(32, dtype=self.dtype, precision=self.precision,
+                           name=name)(x)
+            feats.append(x)
+            start = 3
+        else:
+            x = im
+            start = 1
+        for lvl in range(start, 7):
             ch = PYRAMID_CHANNELS[lvl]
             if self.variant == "new":
                 # level 6 names its stride-2 conv "conv6aa" (reference :67-69)
@@ -215,13 +309,17 @@ class PWCDCNet(nn.Module):
         both = jnp.concatenate([im1, im2], axis=0)
         feats = self._pyramid(both)
         bsz = im1.shape[0]
-        c1 = {lvl: f[:bsz] for lvl, f in zip(range(1, 7), feats)}
-        c2 = {lvl: f[bsz:] for lvl, f in zip(range(1, 7), feats)}
+        c1 = {lvl: f[:bsz] for lvl, f in zip(range(1, 7), feats)
+              if f is not None}
+        c2 = {lvl: f[bsz:] for lvl, f in zip(range(1, 7), feats)
+              if f is not None}
 
         flows = {}
         up_flow = None
         up_feat = None
         xfeat = None
+        dc = None
+        dc_start = 1
         for lvl in (6, 5, 4, 3, 2):
             if lvl == 6:
                 corr = self._corr(c1[6], c2[6])
@@ -234,6 +332,10 @@ class PWCDCNet(nn.Module):
                 xin = jnp.concatenate(
                     [corr, c1[lvl], up_flow.astype(self.dtype),
                      up_feat.astype(self.dtype)], axis=-1)
+            if lvl == 2 and self._use_fused(xin):
+                flows[2], dc = self._fused_level2(xin)
+                dc_start = 2   # dc_conv1 came out of the fused kernel
+                break
             xfeat = self._dense_block(xin, lvl)
             flow = PredictFlow(dtype=self.dtype, precision=self.precision,
                                name=f"predict_flow{lvl}")(xfeat)
@@ -248,9 +350,12 @@ class PWCDCNet(nn.Module):
 
         # Context network: 7 dilated convs, residual added to flow2
         # (reference models/PWCNet.py:126-132, :267-268).
-        dc = xfeat
+        if dc is None:
+            dc = xfeat
         dc_specs = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
         for i, (feats_n, dil) in enumerate(dc_specs, start=1):
+            if i < dc_start:
+                continue
             dc = ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
                         precision=self.precision, name=f"dc_conv{i}")(dc)
         flows[2] = flows[2] + PredictFlow(dtype=self.dtype,

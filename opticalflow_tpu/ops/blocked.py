@@ -23,7 +23,6 @@ original convs.  Reference semantics unchanged
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["blocked_s2_kernel", "blocked_s1_kernel",
@@ -32,7 +31,7 @@ __all__ = ["blocked_s2_kernel", "blocked_s1_kernel",
 
 
 def _np(k):
-    return np.asarray(k, np.float32)
+    return jnp.asarray(k, jnp.float32)
 
 
 def blocked_s2_kernel(k3: jnp.ndarray) -> jnp.ndarray:
@@ -41,12 +40,13 @@ def blocked_s2_kernel(k3: jnp.ndarray) -> jnp.ndarray:
     input window starting at row 4y + 2·dy − 1."""
     k3 = _np(k3)
     ci, co = k3.shape[2], k3.shape[3]
-    k5 = np.zeros((5, 5, ci, 2, 2, co), np.float32)
+    k5 = jnp.zeros((5, 5, ci, 2, 2, co), jnp.float32)
     for dy in range(2):
         for dx in range(2):
             # offset within the 5×5 window: 2·d + k − 1 + 1(pad origin)
-            k5[2 * dy:2 * dy + 3, 2 * dx:2 * dx + 3, :, dy, dx, :] += k3
-    return jnp.asarray(k5.reshape(5, 5, ci, 4 * co))
+            k5 = k5.at[2 * dy:2 * dy + 3, 2 * dx:2 * dx + 3, :,
+                       dy, dx, :].add(k3)
+    return k5.reshape(5, 5, ci, 4 * co)
 
 
 def blocked_s1_kernel(k3: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +63,7 @@ def blocked_s1_kernel(k3: jnp.ndarray) -> jnp.ndarray:
     k3 = _np(k3)
     ci, co = k3.shape[2], k3.shape[3]
     # block window of 3 (by ∈ {-1,0,1}); build then trim
-    kb = np.zeros((3, 3, 2, 2, ci, 2, 2, co), np.float32)
+    kb = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), jnp.float32)
     for dy in range(2):            # output intra-block row
         for dx in range(2):
             for ky in range(3):    # original kernel taps
@@ -71,10 +71,11 @@ def blocked_s1_kernel(k3: jnp.ndarray) -> jnp.ndarray:
                     py, px = dy + ky - 1, dx + kx - 1   # input pixel offset
                     by, di = divmod(py, 2)              # floor div/mod
                     bx, dj = divmod(px, 2)
-                    kb[by + 1, bx + 1, di, dj, :, dy, dx, :] += k3[ky, kx]
+                    kb = kb.at[by + 1, bx + 1, di, dj, :,
+                               dy, dx, :].add(k3[ky, kx])
     # taps with py ∈ {-1,0,1,2} live in blocks {-1,0,1}: by=+1 only holds
     # py=2 (dy=1, ky=2) → the window is genuinely 3 blocks wide; keep 3×3.
-    return jnp.asarray(kb.reshape(3, 3, 4 * ci, 4 * co))
+    return kb.reshape(3, 3, 4 * ci, 4 * co)
 
 
 def blocked_consumer_kernel(k3: jnp.ndarray) -> jnp.ndarray:
@@ -84,14 +85,14 @@ def blocked_consumer_kernel(k3: jnp.ndarray) -> jnp.ndarray:
     y−1 (intra 1) and y (intra 0, 1)."""
     k3 = _np(k3)
     ci, co = k3.shape[2], k3.shape[3]
-    kb = np.zeros((2, 2, 2, 2, ci, co), np.float32)
+    kb = jnp.zeros((2, 2, 2, 2, ci, co), jnp.float32)
     for ky in range(3):
         for kx in range(3):
             py, px = ky - 1, kx - 1          # input pixel offset from 2y
             by, di = divmod(py, 2)           # block −1 gets intra 1
             bx, dj = divmod(px, 2)
-            kb[by + 1, bx + 1, di, dj] += k3[ky, kx]
-    return jnp.asarray(kb.reshape(2, 2, 4 * ci, co))
+            kb = kb.at[by + 1, bx + 1, di, dj].add(k3[ky, kx])
+    return kb.reshape(2, 2, 4 * ci, co)
 
 
 def to_blocked_bias(b: jnp.ndarray) -> jnp.ndarray:

@@ -76,9 +76,11 @@ def supported(x: jax.Array, md: int = 4) -> bool:
     except Exception:  # pragma: no cover
         return False
     _, h, w, c = x.shape
-    if h % 8 and h > 8:
-        return False
-    # one window row must fit comfortably: (c, w+2md) f32 + temporaries
+    if _f2_bytes(x.shape, md, x.dtype.itemsize) <= 8 * 1024 * 1024:
+        return True            # resident strategy (any h: whole-image tile)
+    if h % 8:
+        return False           # windowed strategy needs 8-row tiles
+    # one window must fit comfortably: (8+2md rows, c, w+2md) + temporaries
     wl = -(-(w + 2 * md) // 128) * 128
     cs = -(-c // 8) * 8
     return (2 * md + 8) * cs * wl * 4 * 4 <= _VMEM_BUDGET
@@ -228,7 +230,10 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
         out_specs=pl.BlockSpec((1, nd2, th, w),
                                lambda bb, ii: (bb, 0, ii, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nd2, h, w), jnp.float32),
+        # accumulation is f32 in-kernel; the stored volume rides the input
+        # dtype (halves the cost-volume HBM round-trip in bf16 mode — the
+        # model casts to its compute dtype right after LeakyReLU anyway)
+        out_shape=jax.ShapeDtypeStruct((b, nd2, h, w), f1.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(f1t, f2p)

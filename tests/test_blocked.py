@@ -86,3 +86,39 @@ def test_full_level1_chain_blocked():
                                np.asarray(lvl1), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_model_blocked_lvl1_matches_unblocked():
+    """PWCDCNet(use_blocked_lvl1=True) must match the plain fast-mode model
+    bit-near-exactly (same params, same tree) and keep gradients flowing."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    import jax.tree_util as jtu
+    x = _rand((1, 64, 128, 6), 20) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=False)
+    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    assert jtu.tree_structure(params) == jtu.tree_structure(p1)
+    assert all(a.shape == b.shape for a, b in
+               zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    assert float(jnp.linalg.norm(g["conv1a"]["kernel"])) > 0
+
+
+def test_highest_precision_keeps_plain_path():
+    """Checkpoint-parity mode must not take the re-ordered blocked path."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    m = PWCDCNet(variant="new", precision="highest", use_pallas_corr=False)
+    # the pyramid gate: blocked only in fast mode
+    assert m.precision == "highest"
+    x = _rand((1, 64, 64, 6), 21)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 2)

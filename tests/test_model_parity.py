@@ -148,9 +148,7 @@ def test_realistic_scale_parity_256x512():
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
-                    reason="448x1024 double-model CPU parity ~minutes; "
-                           "run with RUN_SLOW=1")
+@pytest.mark.slow
 def test_realistic_scale_parity_sintel_448x1024():
     """Full Sintel-padded resolution (BASELINE north-star shape)."""
     oracle, model, params = _realistic_pair()

@@ -29,7 +29,9 @@ def test_pallas_forward_bf16_inputs():
     f1 = jnp.asarray(_rand((1, 8, 16, 4), 3)).astype(jnp.bfloat16)
     f2 = jnp.asarray(_rand((1, 8, 16, 4), 4)).astype(jnp.bfloat16)
     out = _corr_fwd_impl(f1, f2, 4, True)
-    assert out.dtype == jnp.float32  # f32 accumulation like the CUDA kernel
+    # stored in the input dtype; accumulation is f32 in-kernel (CUDA parity)
+    assert out.dtype == jnp.bfloat16
+    out = out.astype(jnp.float32)
     ref = correlation_lax(f1.astype(jnp.float32), f2.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
