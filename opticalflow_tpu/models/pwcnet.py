@@ -76,6 +76,14 @@ class ConvLR(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     precision: str = "highest"
+    # fast-mode only: run a dilated conv as plain convs over the d×d
+    # dilation phases (space_to_depth_d) — exact tap-for-tap re-indexing,
+    # much better MXU tiling than XLA's dilated lowering.
+    s2d_dilated: bool = False
+    # fast-mode only: dilated conv through the Pallas windowed-DMA kernel
+    # (ops/pallas_dilated.py) — nine static shifted matmuls, f32 VMEM
+    # accumulation; takes priority over s2d_dilated when supported.
+    pallas_dilated: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,6 +94,27 @@ class ConvLR(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         fast = self.precision == "fast" and self.dtype != jnp.float32
+        d = self.dilation
+        if (self.pallas_dilated and self.precision == "fast" and d > 1
+                and self.kernel_size == 3
+                and self.stride == 1 and self.padding == d):
+            from opticalflow_tpu.ops.pallas_dilated import (
+                conv_dilated3x3, dilated_supported)
+            if dilated_supported(x, d):
+                y = conv_dilated3x3(x.astype(self.dtype),
+                                    k.astype(self.dtype), d)
+                return leaky_relu(y + b.astype(self.dtype)).astype(self.dtype)
+        if (self.s2d_dilated and self.precision == "fast" and d > 1
+                and self.kernel_size == 3
+                and self.stride == 1 and self.padding == d
+                and x.shape[1] % d == 0 and x.shape[2] % d == 0):
+            from opticalflow_tpu.ops.blocked import (depth_to_space_d,
+                                                     space_to_depth_d)
+            xb = space_to_depth_d(x.astype(self.dtype), d)
+            yb = conv2d(xb, k.astype(self.dtype), None, stride=1, padding=1,
+                        out_dtype=self.dtype)
+            y = depth_to_space_d(yb, d, x.shape[0]) + b.astype(self.dtype)
+            return leaky_relu(y).astype(self.dtype)
         y = conv2d(x.astype(self.dtype), k.astype(self.dtype),
                    b.astype(self.dtype) if fast else b,
                    stride=self.stride, padding=self.padding,
@@ -182,6 +211,31 @@ class PWCDCNet(nn.Module):
     # the concat traffic it saves; PERF.md round-2 log). Kept for revisit
     # with cross-tile reuse; correctness is fully tested.
     use_fused_estimator: bool = False
+    # fast mode: predict_flow2 + dc_conv1 as ONE conv (Cin→130) with output
+    # order [dc_conv1 | flow] so the 128-lane slice is aligned. Default OFF:
+    # measured 238.1 vs 246.9 pairs/s at B=32 even with the aligned order —
+    # the 130-ch output needs a second lane tile and the split breaks XLA's
+    # head/context fusion (PERF.md round-2 log). Param tree unchanged.
+    use_fused_heads: bool = False
+    # fast mode: context-net dilated convs execute per dilation phase
+    # (see ConvLR.s2d_dilated) when the L2 grid divides the dilation.
+    # Default OFF: measured neutral at B=32 — the per-conv space-to-depth/
+    # inverse transposes cost what the better-tiled conv saves.
+    use_s2d_context: bool = False
+    # fast mode, new variant: dense blocks + level-2 heads in producer-piece
+    # form (see _piece_dense_l2/_piece_dense_upper) — no running concats,
+    # every conv ≥34 output lanes. Default ON: measured 291.5 vs 246.9
+    # pairs/s at B=32 (PERF.md round-2 log); exact (tested vs plain path).
+    use_piece_dense: bool = True
+    # fast mode + TPU: context-net dilated convs (dc2..dc5) through the
+    # Pallas windowed-DMA kernel (ops/pallas_dilated.py). Default OFF:
+    # the kernels themselves beat XLA's dilated lowering (9.9 vs 13.7 ms
+    # at B=32) but the custom-call boundaries force standard layouts onto
+    # the surrounding L2 section — ~10 ms of relayout copies of the piece
+    # tensors plus ~3.6 ms of un-fused bias+leaky epilogues — a net loss
+    # (245.5 vs 291.5 pairs/s; PERF.md round-2 log). Revisit with in-kernel
+    # epilogues + a Pallas path for dc6/dc7 to push the boundary outward.
+    use_pallas_context: bool = False
 
     def _corr(self, a, b):
         # the kernel accumulates in f32 internally; bf16 inputs ride as-is
@@ -235,6 +289,153 @@ class PWCDCNet(nn.Module):
             BL.conv_blocked_consumer(y, BL.blocked_consumer_kernel(k2a)
                                      .astype(dt), out_dtype=jnp.float32)
             + b2a).astype(dt)
+
+    def _piece_dense_l2(self, xin):
+        """Level-2 dense block + heads in producer-piece form.
+
+        The concat form re-reads every earlier piece per consumer conv and
+        re-writes the running concat five times (device profile at B=32:
+        ~19 ms of concatenates + lane-starved 469→64 / 533→32 / 565→2 tail
+        convs — PERF.md round-2).  By linearity of convolution, restructure
+        per PRODUCER: for each piece p ∈ {xin, y0..y4}, ONE conv computes
+        p's contribution to every downstream output at once
+        ([y_{k+1} | … | y4 | dc_conv1 | predict_flow2] — ≥130 output lanes),
+        so each piece is read exactly once and no concat is materialized.
+        y_i = LeakyReLU(Σ_p part_p[y_i] + b_i) reproduces the dense block
+        exactly (conv distributes over the input concat).  The kernels are
+        runtime slices of the UNCHANGED conv2_*/predict_flow2/dc_conv1
+        params — checkpoints and the param tree are untouched.  Fast mode
+        only: partial sums accumulate in the compute dtype.
+        """
+        dt = self.dtype
+        w = list(ESTIMATOR_CHANNELS)               # y0..y4 widths
+        n = len(w)
+        cin0 = xin.shape[-1]
+        cins = [cin0]
+        for wi in w:
+            cins.append(cins[-1] + wi)             # cins[i] = Cin of conv2_i
+        Ws, Bs = [], []
+        for i in range(n):
+            k, b = _RawParams((3, 3, cins[i], w[i]), name=f"conv2_{i}")()
+            Ws.append(k)
+            Bs.append(b)
+        kpf, bpf = _RawParams((3, 3, cins[n], 2), name="predict_flow2")()
+        kdc, bdc = _RawParams((3, 3, cins[n], 128), name="dc_conv1")()
+        Ws += [kdc, kpf]                           # consumer n = dc, n+1 = pf
+
+        def in_off(i, p):
+            """Offset of piece p in consumer i's input
+            x_i = [y_{i-1}, …, y_0, xin] (piece 0 = xin, p ≥ 1 = y_{p-1})."""
+            if p == 0:
+                return cins[min(i, n)] - cin0
+            return sum(w[p:min(i, n)])
+
+        def out_off(p, i):
+            """Offset of consumer i inside piece p's partial output
+            [y_p-part … y_{n-1}-part | dc(128) | pf(2)]."""
+            return sum(w[p:min(i, n)]) + (128 if i == n + 1 else 0)
+
+        pieces = [xin.astype(dt)]
+        zs = []
+        for p in range(n + 1):
+            pw = pieces[p].shape[-1]
+            kj = jnp.concatenate(
+                [Ws[i][:, :, in_off(i, p):in_off(i, p) + pw, :]
+                 for i in list(range(p, n)) + [n, n + 1]],
+                axis=-1).astype(dt)
+            zs.append(conv2d(pieces[p], kj, None, stride=1, padding=1,
+                             out_dtype=dt))
+            if p < n:
+                acc = zs[0][..., out_off(0, p):out_off(0, p) + w[p]]
+                for q in range(1, p + 1):
+                    acc = acc + zs[q][..., out_off(q, p):out_off(q, p) + w[p]]
+                pieces.append(leaky_relu(acc + Bs[p].astype(dt)).astype(dt))
+        # dc and pf accumulate as separate slice-add chains.  (Fusing them
+        # into one 130-wide slice-add was measured SLOWER — 239.5 vs 291.5
+        # pairs/s at B=32: the 130-lane windows start at non-128-aligned
+        # offsets in every z, and the misaligned wide slices cost more than
+        # the six narrow 2-lane pf writes they replace; PERF.md round-2.)
+        dc = zs[0][..., out_off(0, n):out_off(0, n) + 128]
+        pf = zs[0][..., out_off(0, n + 1):out_off(0, n + 1) + 2]
+        for q in range(1, n + 1):
+            dc = dc + zs[q][..., out_off(q, n):out_off(q, n) + 128]
+            pf = pf + zs[q][..., out_off(q, n + 1):out_off(q, n + 1) + 2]
+        dc1 = leaky_relu(dc + bdc.astype(dt)).astype(dt)
+        flow = pf.astype(jnp.float32) + bpf
+        return flow, dc1
+
+    def _piece_dense_upper(self, xin, lvl):
+        """Producer-piece dense block for levels 3-6 (same restructure as
+        :meth:`_piece_dense_l2`): piece convs emit [y-parts | predict_flow
+        partial], so the five incremental concats disappear and every conv
+        keeps ≥34 output lanes.  ``xfeat`` is assembled ONCE at the end —
+        the upfeat deconv still needs it — replacing five growing concat
+        writes with one.  Returns (flow, xfeat)."""
+        dt = self.dtype
+        w = list(ESTIMATOR_CHANNELS)
+        n = len(w)
+        cin0 = xin.shape[-1]
+        cins = [cin0]
+        for wi in w:
+            cins.append(cins[-1] + wi)
+        Ws, Bs = [], []
+        for i in range(n):
+            k, b = _RawParams((3, 3, cins[i], w[i]), name=f"conv{lvl}_{i}")()
+            Ws.append(k)
+            Bs.append(b)
+        kpf, bpf = _RawParams((3, 3, cins[n], 2),
+                              name=f"predict_flow{lvl}")()
+
+        def in_off(i, p):
+            if p == 0:
+                return cins[min(i, n)] - cin0
+            return sum(w[p:min(i, n)])
+
+        def out_off(p, i):
+            return sum(w[p:min(i, n)])
+
+        pieces = [xin.astype(dt)]
+        zs = []
+        for p in range(n + 1):
+            pw = pieces[p].shape[-1]
+            kj = jnp.concatenate(
+                [Ws[i][:, :, in_off(i, p):in_off(i, p) + pw, :]
+                 for i in range(p, n)]
+                + [kpf[:, :, in_off(n, p):in_off(n, p) + pw, :]],
+                axis=-1).astype(dt)
+            zs.append(conv2d(pieces[p], kj, None, stride=1, padding=1,
+                             out_dtype=dt))
+            if p < n:
+                acc = zs[0][..., out_off(0, p):out_off(0, p) + w[p]]
+                for q in range(1, p + 1):
+                    acc = acc + zs[q][..., out_off(q, p):out_off(q, p) + w[p]]
+                pieces.append(leaky_relu(acc + Bs[p].astype(dt)).astype(dt))
+        pf = zs[0][..., out_off(0, n):out_off(0, n) + 2]
+        for q in range(1, n + 1):
+            pf = pf + zs[q][..., out_off(q, n):out_off(q, n) + 2]
+        flow = pf.astype(jnp.float32) + bpf
+        xfeat = jnp.concatenate(pieces[::-1], axis=-1)  # [y4..y0, xin]
+        return flow, xfeat
+
+    def _fused_heads_l2(self, xfeat):
+        """predict_flow2 + dc_conv1 as one conv over the level-2 feature
+        stack, output channels ordered [dc_conv1 (128) | flow (2)] so the
+        large slice lands on a lane boundary (the earlier [flow|dc] order
+        measured as a regression — PERF.md round-1 log).  Numerics per
+        output channel are identical to the separate convs; the param tree
+        is unchanged (_RawParams)."""
+        cin = xfeat.shape[-1]
+        kpf, bpf = _RawParams((3, 3, cin, 2), name="predict_flow2")()
+        kdc, bdc = _RawParams((3, 3, cin, 128), name="dc_conv1")()
+        k = jnp.concatenate([kdc, kpf], axis=-1).astype(self.dtype)
+        y = conv2d(xfeat.astype(self.dtype), k, None, stride=1, padding=1,
+                   out_dtype=self.dtype)
+        # dc_conv1 follows ConvLR's fast-mode convention, predict_flow2
+        # PredictFlow's (f32 bias-add promotes the flow to float32)
+        dc1 = leaky_relu(y[..., :128] + bdc.astype(self.dtype)
+                         ).astype(self.dtype)
+        flow = y[..., 128:].astype(jnp.float32) + bpf
+        return flow, dc1
 
     def _use_fused(self, xin) -> bool:
         from opticalflow_tpu.ops.pallas_dense import fused_supported
@@ -336,10 +537,26 @@ class PWCDCNet(nn.Module):
                 flows[2], dc = self._fused_level2(xin)
                 dc_start = 2   # dc_conv1 came out of the fused kernel
                 break
-            xfeat = self._dense_block(xin, lvl)
-            flow = PredictFlow(dtype=self.dtype, precision=self.precision,
-                               name=f"predict_flow{lvl}")(xfeat)
-            flows[lvl] = flow
+            piece = (self.use_piece_dense and self.variant == "new"
+                     and self.precision == "fast")
+            if lvl == 2 and piece:
+                flows[2], dc = self._piece_dense_l2(xin)
+                dc_start = 2   # dc_conv1 came out of the piece form
+                break
+            if piece:
+                flow, xfeat = self._piece_dense_upper(xin, lvl)
+                flows[lvl] = flow
+            else:
+                xfeat = self._dense_block(xin, lvl)
+                if (lvl == 2 and self.use_fused_heads
+                        and self.precision == "fast"):
+                    flows[2], dc = self._fused_heads_l2(xfeat)
+                    dc_start = 2   # dc_conv1 came out of the fused head conv
+                    break
+                flow = PredictFlow(dtype=self.dtype,
+                                   precision=self.precision,
+                                   name=f"predict_flow{lvl}")(xfeat)
+                flows[lvl] = flow
             if lvl > 2:
                 up_flow = Deconv(2, dtype=self.dtype,
                                  precision=self.precision,
@@ -357,7 +574,10 @@ class PWCDCNet(nn.Module):
             if i < dc_start:
                 continue
             dc = ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
-                        precision=self.precision, name=f"dc_conv{i}")(dc)
+                        precision=self.precision,
+                        s2d_dilated=self.use_s2d_context,
+                        pallas_dilated=self.use_pallas_context,
+                        name=f"dc_conv{i}")(dc)
         flows[2] = flows[2] + PredictFlow(dtype=self.dtype,
                                           precision=self.precision,
                                           name="dc_conv7")(dc)

@@ -27,7 +27,30 @@ import jax.numpy as jnp
 
 __all__ = ["blocked_s2_kernel", "blocked_s1_kernel",
            "blocked_consumer_kernel", "to_blocked_bias", "depth_to_space",
-           "conv_blocked_s2", "conv_blocked_s1", "conv_blocked_consumer"]
+           "conv_blocked_s2", "conv_blocked_s1", "conv_blocked_consumer",
+           "space_to_depth_d", "depth_to_space_d"]
+
+
+def space_to_depth_d(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B·d², H/d, W/d, C): split into the d×d dilation
+    phases, phases stacked into the batch axis.  A 3×3 conv with dilation d
+    and padding d on ``x`` equals a plain 3×3 pad-1 conv on every phase —
+    taps at ±d stay within a phase and the d-px zero border maps to the
+    phase's 1-px border.  XLA's dilated-conv lowering underutilizes the MXU
+    (PERF.md round-2: the context net runs at ~28% of its FLOP bound); the
+    phase form runs as an ordinary well-tiled conv."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // d, d, w // d, d, c)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5))
+    return x.reshape(b * d * d, h // d, w // d, c)
+
+
+def depth_to_space_d(y: jnp.ndarray, d: int, batch: int) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth_d`."""
+    _, h, w, c = y.shape
+    y = y.reshape(batch, d, d, h, w, c)
+    y = jnp.transpose(y, (0, 3, 1, 4, 2, 5))
+    return y.reshape(batch, h * d, w * d, c)
 
 
 def _np(k):

@@ -5,8 +5,10 @@ Replaces the reference's fully serial loop (``pwc_extract_flow_video.py:219-
 a pipelined runner:
 
   * a decode thread fills a frame queue (cv2.VideoCapture stays on host);
-  * frames are batched into (B, H64, W64, 6) uint8 pair tensors — consecutive
-    pairs share frames, so each frame is decoded once;
+  * each frame is decoded AND uploaded once: the device step takes a window
+    of B+1 consecutive uint8 frames and forms the B pairs on device (the
+    reference — and a naive pair-tensor batching — transfers every interior
+    frame twice; halving H2D matters on any PCIe/relay-attached host);
   * preprocessing (/255, channel order, optional ImageNet norm) runs *inside*
     the jitted program on device;
   * JAX's async dispatch keeps ``depth`` batches in flight: the host draws
@@ -87,7 +89,7 @@ class VideoFlowRunner:
         self.batch = batch
         self.depth = depth
         self.mesh = mesh
-        self._x_sharding = None
+        pair_sharding = None
         if mesh is not None:
             from opticalflow_tpu.parallel.mesh import (batch_sharding,
                                                        replicated)
@@ -95,7 +97,7 @@ class VideoFlowRunner:
                 raise ValueError(
                     f"batch {batch} not divisible by mesh size "
                     f"{mesh.devices.size}")
-            self._x_sharding = batch_sharding(mesh)
+            pair_sharding = batch_sharding(mesh)
             params = jax.device_put(params, replicated(mesh))
         self.params = jax.tree.map(jnp.asarray, params)
 
@@ -103,20 +105,19 @@ class VideoFlowRunner:
         std = jnp.asarray(_IMAGENET_STD)
         scale = self.flow_scale
 
-        def step(params, pairs_u8):
-            x = pairs_u8.astype(jnp.float32) / 255.0
+        def step(params, frames_u8):
+            # frames_u8: (B+1, H64, W64, 3) — B pairs formed on device
+            x = frames_u8.astype(jnp.float32) / 255.0
             if preset == "bgr_unit":
-                x = jnp.concatenate([x[..., 2::-1], x[..., :2:-1]], axis=-1)
+                x = x[..., ::-1]
             elif preset == "rgb_imagenet":
-                x = jnp.concatenate(
-                    [(x[..., :3] - mean) / std, (x[..., 3:] - mean) / std],
-                    axis=-1)
-            return self.model.apply({"params": params}, x) * scale
+                x = (x - mean) / std
+            pairs = jnp.concatenate([x[:-1], x[1:]], axis=-1)
+            if pair_sharding is not None:
+                pairs = jax.lax.with_sharding_constraint(pairs, pair_sharding)
+            return self.model.apply({"params": params}, pairs) * scale
 
-        if mesh is not None:
-            self._step = jax.jit(step, in_shardings=(None, self._x_sharding))
-        else:
-            self._step = jax.jit(step)
+        self._step = jax.jit(step)
 
     def _pad(self, frame: np.ndarray) -> np.ndarray:
         h, w = frame.shape[:2]
@@ -137,36 +138,36 @@ class VideoFlowRunner:
         helpers) to draw at frame resolution.
         """
         inflight = collections.deque()
-        buf = []          # frames in the current batch window
-        metas = []        # original frames for overlay
+        buf = []          # padded frames in the current window (B+1 of them)
+        metas = []        # original frames per pair, for overlay
         prev = None
 
         def submit():
             nonlocal buf, metas
-            if not buf:
+            if not metas:
                 return
-            n_real = len(buf)
-            # pad a final partial batch up to the compiled batch size: one
+            n_real = len(metas)
+            carry = buf[-1]
+            # pad a final partial window up to the compiled B+1 frames: one
             # XLA program for the whole stream instead of a second compile
-            while len(buf) < self.batch:
+            while len(buf) < self.batch + 1:
                 buf.append(buf[-1])
-            arr = np.stack(buf)  # (B, H64, W64, 6) uint8
-            dev = (jax.device_put(arr, self._x_sharding)
-                   if self._x_sharding is not None else jnp.asarray(arr))
-            out = self._step(self.params, dev)
+            arr = np.stack(buf)  # (B+1, H64, W64, 3) uint8, each frame once
+            out = self._step(self.params, arr)
             inflight.append((out[:n_real], metas))
-            buf, metas = [], []
+            # the window boundary frame opens the next window (it is the
+            # first element of that window's first pair) — re-uploaded once
+            # per window, not once per pair
+            buf, metas = [carry], []
 
         for frame in frames:
             rgb = frame[..., ::-1] if channel_order == "bgr" else frame
+            buf.append(self._pad(rgb))
             if prev is not None:
-                pair = np.concatenate(
-                    [self._pad(prev[0]), self._pad(rgb)], axis=-1)
-                buf.append(pair)
-                metas.append((prev[1], frame))
-                if len(buf) == self.batch:
+                metas.append((prev, frame))
+                if len(metas) == self.batch:
                     submit()
-            prev = (rgb, frame)
+            prev = frame
             while len(inflight) > self.depth:
                 out, ms = inflight.popleft()
                 for k, (m0, m1) in enumerate(ms):

@@ -1,0 +1,62 @@
+"""bench.py with model-flag overrides from argv, for perf bisection.
+
+    python scripts/bench_flags.py use_fused_heads=1 use_s2d_context=0 [batch=32]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W, LOOP_N, REPEATS = 448, 1024, 20, 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+
+    flags = {}
+    batch = 32
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "batch":
+            batch = int(v)
+        else:
+            flags[k] = bool(int(v))
+
+    model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast",
+                     **flags)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    x0 = jax.random.uniform(key, (batch, H, W, 6), jnp.float32)
+
+    @jax.jit
+    def bench(p, x):
+        def body(i, acc):
+            out = model.apply({"params": p}, x + i.astype(jnp.float32) * 1e-6)
+            return acc + jnp.mean(out)
+        return jax.lax.fori_loop(0, LOOP_N, body, 0.0)
+
+    @jax.jit
+    def overhead(x):
+        return jnp.mean(x)
+
+    float(overhead(x0)); float(bench(params, x0))
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        float(overhead(x0))
+    ovh = (time.perf_counter() - t0) / REPEATS
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        float(bench(params, x0))
+    per_step = ((time.perf_counter() - t0) / REPEATS - ovh) / LOOP_N
+    print(json.dumps({"flags": flags, "batch": batch,
+                      "ms_per_batch": round(per_step * 1000, 2),
+                      "pairs_per_sec": round(batch / per_step, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,96 @@ def test_model_blocked_lvl1_matches_unblocked():
     assert float(jnp.linalg.norm(g["conv1a"]["kernel"])) > 0
 
 
+def test_s2d_dilated_conv_matches_plain():
+    """Dilated 3×3 conv via dilation phases == XLA dilated conv, exactly."""
+    from opticalflow_tpu.ops.convops import leaky_relu
+    for d in (2, 4, 8, 16):
+        x = _rand((2, 32, 64, 8), 30 + d)
+        k = _rand((3, 3, 8, 12), 40 + d) * 0.2
+        ref = conv2d(x, k, None, stride=1, padding=d, dilation=d)
+        xb = BL.space_to_depth_d(x, d)
+        yb = conv2d(xb, k, None, stride=1, padding=1)
+        out = BL.depth_to_space_d(yb, d, x.shape[0])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_model_fused_heads_and_s2d_context_match_plain():
+    """use_fused_heads + use_s2d_context must match the plain fast-mode
+    model with identical params (tree unchanged), incl. under grad."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    import jax.tree_util as jtu
+    x = _rand((1, 64, 128, 6), 50) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=False, use_fused_heads=False,
+                  use_s2d_context=False, use_piece_dense=False)
+    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=False, use_fused_heads=True,
+                  use_s2d_context=True, use_piece_dense=False)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    assert jtu.tree_structure(params) == jtu.tree_structure(p1)
+    assert all(a.shape == b.shape for a, b in
+               zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+    g = jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    assert float(jnp.linalg.norm(g["predict_flow2"]["kernel"])) > 0
+    assert float(jnp.linalg.norm(g["dc_conv5"]["kernel"])) > 0
+
+
+def test_model_piece_dense_matches_plain():
+    """Producer-piece level-2 dense block (use_piece_dense) must match the
+    plain fast-mode model with identical params, incl. under grad."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    import jax.tree_util as jtu
+    x = _rand((2, 64, 128, 6), 60) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=False, use_piece_dense=False)
+    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  use_blocked_lvl1=False, use_piece_dense=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    assert jtu.tree_structure(params) == jtu.tree_structure(p1)
+    assert all(a.shape == b.shape for a, b in
+               zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+    # training branch + gradients through the sliced-kernel form
+    t0 = m0.apply({"params": params}, x, train=True)
+    t1 = m1.apply({"params": params}, x, train=True)
+    for a, b in zip(t0, t1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+    g0 = jax.grad(lambda p: jnp.sum(
+        m0.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    for name in ("conv2_0", "conv2_4", "predict_flow2", "dc_conv1", "conv1a"):
+        np.testing.assert_allclose(np.asarray(g1[name]["kernel"]),
+                                   np.asarray(g0[name]["kernel"]),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_fused_heads_old_variant_matches_plain():
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    x = _rand((1, 64, 64, 6), 51) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
+                  use_fused_heads=False, use_s2d_context=False)
+    m1 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
+                  use_fused_heads=True, use_s2d_context=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_highest_precision_keeps_plain_path():
     """Checkpoint-parity mode must not take the re-ordered blocked path."""
     from opticalflow_tpu.models.pwcnet import PWCDCNet

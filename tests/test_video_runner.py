@@ -90,6 +90,24 @@ def test_mesh_sharded_runner_matches():
         VideoFlowRunner(model, params, batch=3, mesh=mesh)
 
 
+def test_each_frame_uploaded_once(runner):
+    """The device step receives (B+1, H, W, 3) frame windows — interior
+    frames are NOT duplicated into (B, H, W, 6) pair tensors (2x H2D)."""
+    shapes = []
+    orig = runner._step
+
+    def spy(params, arr):
+        shapes.append(arr.shape)
+        return orig(params, arr)
+
+    runner._step = spy
+    try:
+        list(runner.run(iter(_frames(7))))  # 6 pairs = 2 windows of batch 3
+    finally:
+        runner._step = orig
+    assert shapes == [(4, 128, 192, 3), (4, 128, 192, 3)]
+
+
 def test_preset_applied(runner):
     """flow_scale and preprocessing reach the output: uniform gray frames
     give u = mean(gray/255) * scale."""
