@@ -154,7 +154,7 @@ class VideoFlowRunner:
                 buf.append(buf[-1])
             arr = np.stack(buf)  # (B+1, H64, W64, 3) uint8, each frame once
             out = self._step(self.params, arr)
-            inflight.append((out[:n_real], metas))
+            inflight.append((out, n_real, metas))
             # the window boundary frame opens the next window (it is the
             # first element of that window's first pair) — re-uploaded once
             # per window, not once per pair
@@ -169,11 +169,18 @@ class VideoFlowRunner:
                     submit()
             prev = frame
             while len(inflight) > self.depth:
-                out, ms = inflight.popleft()
-                for k, (m0, m1) in enumerate(ms):
-                    yield m0, m1, np.asarray(out[k])
+                yield from _drain(inflight.popleft())
         submit()
         while inflight:
-            out, ms = inflight.popleft()
-            for k, (m0, m1) in enumerate(ms):
-                yield m0, m1, np.asarray(out[k])
+            yield from _drain(inflight.popleft())
+
+
+def _drain(entry):
+    """One host readback per window: ``np.asarray(out)`` transfers the whole
+    batch in a single D2H; per-pair ``np.asarray(out[k])`` readbacks cost a
+    full device round-trip each (~30 ms behind a relay — they dominated the
+    streaming loop at 8 round-trips per window; PERF.md round-2 log)."""
+    out, n_real, ms = entry
+    out_np = np.asarray(out)[:n_real]
+    for k, (m0, m1) in enumerate(ms):
+        yield m0, m1, out_np[k]
