@@ -19,7 +19,7 @@ import time
 
 BASELINE_PAIRS_PER_SEC = 200.0  # BASELINE.json north_star
 H, W = 448, 1024                # Sintel 436x1024 padded to /64
-BATCH = 32
+BATCH = 64
 LOOP_N = 20
 REPEATS = 3
 
