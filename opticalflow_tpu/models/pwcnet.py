@@ -95,15 +95,15 @@ class ConvLR(nn.Module):
                        jnp.float32)
         fast = self.precision == "fast" and self.dtype != jnp.float32
         d = self.dilation
-        if (self.pallas_dilated and self.precision == "fast" and d > 1
+        if (self.pallas_dilated and self.precision == "fast" and d >= 1
                 and self.kernel_size == 3
                 and self.stride == 1 and self.padding == d):
             from opticalflow_tpu.ops.pallas_dilated import (
-                conv_dilated3x3, dilated_supported)
+                conv_dilated3x3_act, dilated_supported)
             if dilated_supported(x, d):
-                y = conv_dilated3x3(x.astype(self.dtype),
-                                    k.astype(self.dtype), d)
-                return leaky_relu(y + b.astype(self.dtype)).astype(self.dtype)
+                y = conv_dilated3x3_act(x.astype(self.dtype),
+                                        k.astype(self.dtype), b, d)
+                return y.astype(self.dtype)
         if (self.s2d_dilated and self.precision == "fast" and d > 1
                 and self.kernel_size == 3
                 and self.stride == 1 and self.padding == d
@@ -232,9 +232,9 @@ class PWCDCNet(nn.Module):
     # the kernels themselves beat XLA's dilated lowering (9.9 vs 13.7 ms
     # at B=32) but the custom-call boundaries force standard layouts onto
     # the surrounding L2 section — ~10 ms of relayout copies of the piece
-    # tensors plus ~3.6 ms of un-fused bias+leaky epilogues — a net loss
-    # (245.5 vs 291.5 pairs/s; PERF.md round-2 log). Revisit with in-kernel
-    # epilogues + a Pallas path for dc6/dc7 to push the boundary outward.
+    # tensors (245.5 pairs/s vs 291.5; with the bias+LeakyReLU epilogue
+    # fused in-kernel and dc6 included still 249.4 — PERF.md round-2 log).
+    # Parked until pallas_call grows operand-layout control.
     use_pallas_context: bool = False
 
     def _corr(self, a, b):
@@ -273,22 +273,27 @@ class PWCDCNet(nn.Module):
         k1aa, b1aa = _RawParams((3, 3, 16, 16), name="conv1aa")()
         k1b, b1b = _RawParams((3, 3, 16, 16), name="conv1b")()
         k2a, b2a = _RawParams((3, 3, 16, 32), name="conv2a")()
+        # out_dtype == compute dtype (ConvLR fast-mode convention): XLA still
+        # accumulates f32 in the MXU, and a mixed f32-out/bf16-kernel conv
+        # has no transpose rule — bf16 *training* through this path fails
+        # with "conv_general_dilated requires arguments to have the same
+        # dtypes" (caught by scripts/bench_train.py).
         y = BL.conv_blocked_s2(im.astype(dt),
                                BL.blocked_s2_kernel(k1a).astype(dt),
-                               out_dtype=jnp.float32)
-        y = leaky_relu(y + BL.to_blocked_bias(b1a)).astype(dt)
+                               out_dtype=dt)
+        y = leaky_relu(y + BL.to_blocked_bias(b1a).astype(dt)).astype(dt)
         y = leaky_relu(
             BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k1aa).astype(dt),
-                               out_dtype=jnp.float32)
-            + BL.to_blocked_bias(b1aa)).astype(dt)
+                               out_dtype=dt)
+            + BL.to_blocked_bias(b1aa).astype(dt)).astype(dt)
         y = leaky_relu(
             BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k1b).astype(dt),
-                               out_dtype=jnp.float32)
-            + BL.to_blocked_bias(b1b)).astype(dt)
+                               out_dtype=dt)
+            + BL.to_blocked_bias(b1b).astype(dt)).astype(dt)
         return leaky_relu(
             BL.conv_blocked_consumer(y, BL.blocked_consumer_kernel(k2a)
-                                     .astype(dt), out_dtype=jnp.float32)
-            + b2a).astype(dt)
+                                     .astype(dt), out_dtype=dt)
+            + b2a.astype(dt)).astype(dt)
 
     def _piece_dense_l2(self, xin):
         """Level-2 dense block + heads in producer-piece form.

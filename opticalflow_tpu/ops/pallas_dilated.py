@@ -38,7 +38,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dilated_supported", "conv_dilated3x3"]
+__all__ = ["dilated_supported", "conv_dilated3x3", "conv_dilated3x3_act"]
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -73,9 +73,12 @@ def dilated_supported(x: jax.Array, d: int) -> bool:
     return _row_tile(h, w, c, c, d, x.dtype.itemsize) is not None
 
 
-def _kernel(d, th, w, co, x_hbm, w_ref, out_ref, win_ref, sem):
+def _kernel(d, th, w, co, epilogue, x_hbm, w_ref, b_ref, out_ref,
+            win_ref, sem):
     """One (batch, row-tile) grid step: DMA the halo window, then nine
-    shifted matmuls accumulated in float32."""
+    shifted matmuls accumulated in float32; optional fused bias+LeakyReLU
+    epilogue (a separate XLA elementwise pass costs ~0.7 ms per conv at
+    B=32 — PERF.md round-2)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,6 +98,9 @@ def _kernel(d, th, w, co, x_hbm, w_ref, out_ref, win_ref, sem):
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (th, w+2d, Co)
             acc = acc + m[:, kx * d:kx * d + w, :]
+    if epilogue:
+        acc = acc + b_ref[0]
+        acc = jnp.maximum(acc, 0.1 * acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -108,9 +114,11 @@ def conv_dilated3x3(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
     return _dilated_impl(x, w, d)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _dilated_impl(x: jax.Array, w: jax.Array, d: int,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  epilogue: bool = False,
+                  bias: jax.Array | None = None) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,13 +136,17 @@ def _dilated_impl(x: jax.Array, w: jax.Array, d: int,
     c2 = -(-c // 128) * 128
     xp = jnp.pad(x, ((0, 0), (d, d), (d, w2 - wdt - d), (0, c2 - c)))
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c2 - c), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
 
     return pl.pallas_call(
-        functools.partial(_kernel, d, th, wdt, co),
+        functools.partial(_kernel, d, th, wdt, co, epilogue),
         grid=(b, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 3, c2, co), lambda bb, ii: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, wdt, co),
@@ -146,7 +158,38 @@ def _dilated_impl(x: jax.Array, w: jax.Array, d: int,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, wp.astype(x.dtype))
+    )(xp, wp.astype(x.dtype), bias.astype(jnp.float32).reshape(1, co))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_dilated3x3_act(x: jax.Array, w: jax.Array, b: jax.Array,
+                        d: int) -> jax.Array:
+    """Dilated 3×3 conv + bias + LeakyReLU(0.1), fused in-kernel.
+
+    The VJP recovers the activation mask from the *output* — LeakyReLU
+    preserves sign, so d(pre)/d(out) = [out > 0 ? 1 : 0.1] without storing
+    the pre-activation.
+    """
+    return _dilated_impl(x, w, d, False, True, b)
+
+
+def _dilated_act_vjp_fwd(x, w, b, d):
+    y = _dilated_impl(x, w, d, False, True, b)
+    return y, (x, w, y)
+
+
+def _dilated_act_vjp_bwd(d, res, g):
+    x, w, y = res
+    gp = jnp.where(y > 0, g.astype(jnp.float32), 0.1 * g.astype(jnp.float32))
+    gpd = gp.astype(g.dtype)
+    wt = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _dilated_impl(gpd, wt.astype(gpd.dtype), d).astype(x.dtype)
+    dw = _dilated_dw(d, x, gpd).astype(w.dtype)
+    db = jnp.sum(gp, axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv_dilated3x3_act.defvjp(_dilated_act_vjp_fwd, _dilated_act_vjp_bwd)
 
 
 def _dilated_vjp_fwd(x, w, d):

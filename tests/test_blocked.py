@@ -202,6 +202,22 @@ def test_fused_heads_old_variant_matches_plain():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_bf16_fast_model_differentiates():
+    """bfloat16 + fast must be trainable end-to-end: the blocked conv path
+    once emitted f32-out convs with bf16 kernels, whose transpose has no
+    rule (caught by scripts/bench_train.py on TPU)."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    x = _rand((1, 64, 128, 6), 70) * 0.2 + 0.5
+    m = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast",
+                 use_pallas_corr=False)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    g = jax.grad(lambda p: jnp.sum(jnp.stack(
+        [jnp.sum(f.astype(jnp.float32) ** 2)
+         for f in m.apply({"params": p}, x, train=True)])))(params)
+    for name in ("conv1a", "conv2a", "conv2_0", "predict_flow2", "dc_conv5"):
+        assert float(jnp.linalg.norm(g[name]["kernel"])) > 0, name
+
+
 def test_highest_precision_keeps_plain_path():
     """Checkpoint-parity mode must not take the re-ordered blocked path."""
     from opticalflow_tpu.models.pwcnet import PWCDCNet
