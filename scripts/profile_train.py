@@ -1,22 +1,16 @@
-"""Training-step throughput: supervised multiscale fine-tune, one chip.
+"""Device profile of the training step (same program bench_train.py times).
 
-Mirrors the reference's fine-tune regime (train2.py: multiscale Charbonnier,
-AdamW, grad-clip) at the KITTI crop the reference trains with (320×896,
-``train.py:112-118``). Chained-loop timing like bench.py.
-
-    python scripts/bench_train.py [batch]
+    python scripts/profile_train.py [batch] [remat]
 """
 
-import json
+import glob
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-H, W = 320, 896          # reference fine-tune crop (train.py:115)
-LOOP_N = 10
-REPEATS = 3
+H, W, LOOP_N = 320, 896, 10
+LOGDIR = "/tmp/oftpu_train_profile"
 
 
 def main():
@@ -35,9 +29,8 @@ def main():
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg,
                                    sample_shape=(1, 64, 64, 6))
     step = make_train_step(model, tx, cfg)
-
     key = jax.random.PRNGKey(1)
-    batch_data = {
+    data = {
         "images": jax.random.uniform(key, (batch, H, W, 6), jnp.float32),
         "flow": jax.random.normal(key, (batch, H, W, 2), jnp.float32) * 4,
         "valid": jnp.ones((batch, H, W), jnp.float32),
@@ -53,30 +46,12 @@ def main():
             return s2
         return jax.lax.fori_loop(0, LOOP_N, body, state)
 
-    @jax.jit
-    def overhead(data):
-        return jnp.float32(0) + jnp.mean(data["images"])
-
-    float(overhead(batch_data))
-    out = chain(state, batch_data)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        float(overhead(batch_data))
-    ovh = (time.perf_counter() - t0) / REPEATS
-
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        jax.block_until_ready(chain(state, batch_data))
-    per_step = ((time.perf_counter() - t0) / REPEATS - ovh) / LOOP_N
-
-    print(json.dumps({
-        "metric": f"train_step_{H}x{W}_pairs_per_sec_per_chip",
-        "batch": batch, "remat": remat,
-        "ms_per_step": round(per_step * 1000, 2),
-        "pairs_per_sec": round(batch / per_step, 2),
-    }))
+    jax.block_until_ready(chain(state, data))
+    os.system(f"rm -rf {LOGDIR}")
+    jax.profiler.start_trace(LOGDIR)
+    jax.block_until_ready(chain(state, data))
+    jax.profiler.stop_trace()
+    print("trace:", glob.glob(f"{LOGDIR}/**/*.xplane.pb", recursive=True))
 
 
 if __name__ == "__main__":
