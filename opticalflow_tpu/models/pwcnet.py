@@ -236,6 +236,10 @@ class PWCDCNet(nn.Module):
     # fused in-kernel and dc6 included still 249.4 — PERF.md round-2 log).
     # Parked until pallas_call grows operand-layout control.
     use_pallas_context: bool = False
+    # fast mode, piece form: emit [dc|pf|y-parts] per piece so the dc/pf
+    # accumulation slices land on lane-tile boundaries (columns 0/1) at the
+    # cost of +130-offset (misaligned) y-part reads. Perf experiment flag.
+    piece_head_first: bool = False
 
     def _corr(self, a, b):
         # the kernel accumulates in f32 internally; bf16 inputs ride as-is
@@ -335,18 +339,32 @@ class PWCDCNet(nn.Module):
                 return cins[min(i, n)] - cin0
             return sum(w[p:min(i, n)])
 
+        hf = self.piece_head_first
+
         def out_off(p, i):
-            """Offset of consumer i inside piece p's partial output
-            [y_p-part … y_{n-1}-part | dc(128) | pf(2)]."""
+            """Offset of consumer i inside piece p's partial output.
+
+            Default order [y_p-part … y4-part | dc(128) | pf(2)] keeps the
+            y-part offsets where the consumer convs want them; head-first
+            [dc | pf | y-parts] puts the dc/pf accumulation slices on lane
+            tile boundaries (columns 0 and 1) instead."""
+            if hf:
+                if i == n:
+                    return 0
+                if i == n + 1:
+                    return 128
+                return 130 + sum(w[p:i])
             return sum(w[p:min(i, n)]) + (128 if i == n + 1 else 0)
 
         pieces = [xin.astype(dt)]
         zs = []
         for p in range(n + 1):
             pw = pieces[p].shape[-1]
+            order = ([n, n + 1] + list(range(p, n)) if hf
+                     else list(range(p, n)) + [n, n + 1])
             kj = jnp.concatenate(
                 [Ws[i][:, :, in_off(i, p):in_off(i, p) + pw, :]
-                 for i in list(range(p, n)) + [n, n + 1]],
+                 for i in order],
                 axis=-1).astype(dt)
             zs.append(conv2d(pieces[p], kj, None, stride=1, padding=1,
                              out_dtype=dt))

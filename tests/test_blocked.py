@@ -202,6 +202,22 @@ def test_fused_heads_old_variant_matches_plain():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_piece_head_first_matches_plain():
+    """[dc|pf|y] piece output order must be numerically identical to the
+    default order (same slices, different offsets)."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    x = _rand((1, 64, 128, 6), 80) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  piece_head_first=False)
+    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  piece_head_first=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_bf16_fast_model_differentiates():
     """bfloat16 + fast must be trainable end-to-end: the blocked conv path
     once emitted f32-out convs with bf16 kernels, whose transpose has no
