@@ -203,27 +203,37 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
     # NHWC -> (B, H, C, W): W on lanes, C on sublanes
     f1t = jnp.transpose(f1, (0, 1, 3, 2))
     f2t = jnp.transpose(f2, (0, 1, 3, 2))
-    f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, 0), (md, md)))
     hp, wp = h + 2 * md, w + 2 * md
 
     if resident:
+        f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, 0), (md, md)))
         th = _row_tile(h, w, c, nd2, f2b, f1.dtype.itemsize)
         kernel = functools.partial(_fwd_kernel, md, th, w, c)
         f2_spec = pl.BlockSpec((1, hp, c, wp), lambda bb, ii: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         scratch = []
     else:
+        # The windowed path DMAs row slices of the HBM-resident f2 image:
+        # Mosaic memref slices need 8-aligned sublane (C) and 128-aligned
+        # lane (W) extents, so pad both (zero channels contribute zero to
+        # the products and the mean divides by the true C; zero columns
+        # are never read — caught at 1080p shapes, where w+2md=488).
+        cs = -(-c // 8) * 8
+        wl = -(-wp // 128) * 128
+        f1t = jnp.pad(f1t, ((0, 0), (0, 0), (0, cs - c), (0, 0)))
+        f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, cs - c), (md, wl - w - md)))
         th = _row_tile_windowed(h, w, c, nd2, md, f1.dtype.itemsize)
         kernel = functools.partial(_fwd_kernel_windowed, md, th, w, c)
         f2_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch = [pltpu.VMEM((th + 2 * md, c, wp), f1.dtype),
+        scratch = [pltpu.VMEM((th + 2 * md, cs, wl), f1.dtype),
                    pltpu.SemaphoreType.DMA(())]
 
     out = pl.pallas_call(
         kernel,
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec((1, th, c, w), lambda bb, ii: (bb, ii, 0, 0),
+            pl.BlockSpec((1, th, f1t.shape[2], w),
+                         lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
             f2_spec,
         ],

@@ -20,10 +20,15 @@ def main():
 
     flags = {}
     batch = 32
+    global H, W
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "batch":
             batch = int(v)
+        elif k == "h":
+            H = int(v)
+        elif k == "w":
+            W = int(v)
         else:
             flags[k] = bool(int(v))
 
