@@ -240,6 +240,11 @@ class PWCDCNet(nn.Module):
     # accumulation slices land on lane-tile boundaries (columns 0/1) at the
     # cost of +130-offset (misaligned) y-part reads. Perf experiment flag.
     piece_head_first: bool = False
+    # fast mode: each level's flow deconv + upfeat deconv as ONE 4-lane
+    # deconv over [flow | xfeat] with a block kernel — halves the 2-lane
+    # T(2,128) writes and the [up_flow|up_feat] block enters the next
+    # level's input concat unsliced. Exact; param tree unchanged.
+    fuse_up_deconvs: bool = True
 
     def _corr(self, a, b):
         # the kernel accumulates in f32 internally; bf16 inputs ride as-is
@@ -440,6 +445,33 @@ class PWCDCNet(nn.Module):
         xfeat = jnp.concatenate(pieces[::-1], axis=-1)  # [y4..y0, xin]
         return flow, xfeat
 
+    def _fused_up_deconv(self, flow, xfeat, lvl):
+        """Both upsampling deconvs of a level as ONE 4-lane deconv.
+
+        ``deconv{lvl}`` (flow, 2→2) and ``upfeat{lvl}`` (xfeat, C→2) write
+        2-lane outputs — each materializes in T(2,128) tiles padded to full
+        128-lane writes (the same pathology as the pf partial slices;
+        PERF.md round-2).  A block kernel over [flow | xfeat] emits
+        [up_flow | up_feat] in one deconv, and the 4-ch block feeds the
+        next level's input concat unsliced.  Exact: deconvolution is linear
+        in the input channels; params are runtime slices of the unchanged
+        deconv/upfeat kernels.  Returns (up_flow_f32, up_block_dt)."""
+        dt = self.dtype
+        cin = xfeat.shape[-1]
+        kd, bd = _RawParams((4, 4, 2, 2), name=f"deconv{lvl}")()
+        ku, bu = _RawParams((4, 4, cin, 2), name=f"upfeat{lvl}")()
+        kcomb = jnp.concatenate([
+            jnp.concatenate([kd, jnp.zeros_like(kd)], axis=-1),
+            jnp.concatenate([jnp.zeros((4, 4, cin, 2), ku.dtype), ku],
+                            axis=-1),
+        ], axis=2).astype(dt)
+        cat = jnp.concatenate([flow.astype(dt), xfeat.astype(dt)], axis=-1)
+        y = deconv2d(cat, kcomb, None, out_dtype=dt).astype(jnp.float32)
+        b4 = jnp.concatenate([bd, bu])
+        up_flow = y[..., :2] + bd          # f32, bit-matches Deconv's output
+        up_block = (y + b4).astype(dt)     # [up_flow | up_feat] for xin
+        return up_flow, up_block
+
     def _fused_heads_l2(self, xfeat):
         """predict_flow2 + dc_conv1 as one conv over the level-2 feature
         stack, output channels ordered [dc_conv1 (128) | flow (2)] so the
@@ -538,9 +570,11 @@ class PWCDCNet(nn.Module):
         c2 = {lvl: f[bsz:] for lvl, f in zip(range(1, 7), feats)
               if f is not None}
 
+        fuse_up = self.fuse_up_deconvs and self.precision == "fast"
         flows = {}
         up_flow = None
         up_feat = None
+        up_block = None    # fused [up_flow | up_feat] (see _fused_up_deconv)
         xfeat = None
         dc = None
         dc_start = 1
@@ -553,9 +587,10 @@ class PWCDCNet(nn.Module):
                     c2[lvl], up_flow * _WARP_SCALES[lvl],
                     mask_threshold=mask_thr).astype(self.dtype)
                 corr = self._corr(c1[lvl], warped)
-                xin = jnp.concatenate(
-                    [corr, c1[lvl], up_flow.astype(self.dtype),
-                     up_feat.astype(self.dtype)], axis=-1)
+                tail = ([up_block] if up_block is not None else
+                        [up_flow.astype(self.dtype),
+                         up_feat.astype(self.dtype)])
+                xin = jnp.concatenate([corr, c1[lvl]] + tail, axis=-1)
             if lvl == 2 and self._use_fused(xin):
                 flows[2], dc = self._fused_level2(xin)
                 dc_start = 2   # dc_conv1 came out of the fused kernel
@@ -581,12 +616,16 @@ class PWCDCNet(nn.Module):
                                    name=f"predict_flow{lvl}")(xfeat)
                 flows[lvl] = flow
             if lvl > 2:
-                up_flow = Deconv(2, dtype=self.dtype,
-                                 precision=self.precision,
-                                 name=f"deconv{lvl}")(flow)
-                up_feat = Deconv(2, dtype=self.dtype,
-                                 precision=self.precision,
-                                 name=f"upfeat{lvl}")(xfeat)
+                if fuse_up:
+                    up_flow, up_block = self._fused_up_deconv(
+                        flow, xfeat, lvl)
+                else:
+                    up_flow = Deconv(2, dtype=self.dtype,
+                                     precision=self.precision,
+                                     name=f"deconv{lvl}")(flow)
+                    up_feat = Deconv(2, dtype=self.dtype,
+                                     precision=self.precision,
+                                     name=f"upfeat{lvl}")(xfeat)
 
         # Context network: 7 dilated convs, residual added to flow2
         # (reference models/PWCNet.py:126-132, :267-268).

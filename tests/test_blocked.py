@@ -202,6 +202,43 @@ def test_fused_heads_old_variant_matches_plain():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_fused_up_deconvs_match_plain():
+    """One 4-lane [deconv|upfeat] deconv per level must match the two
+    separate Deconvs with identical params (tree unchanged), incl. grad."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    import jax.tree_util as jtu
+    x = _rand((1, 64, 128, 6), 90) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  fuse_up_deconvs=False)
+    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                  fuse_up_deconvs=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    assert jtu.tree_structure(params) == jtu.tree_structure(p1)
+    o0 = m0.apply({"params": params}, x)
+    o1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=1e-4)
+    g = jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    for name in ("deconv3", "upfeat3", "deconv6", "upfeat6"):
+        assert float(jnp.linalg.norm(g[name]["kernel"])) > 0, name
+
+
+def test_fused_up_deconvs_old_variant():
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    x = _rand((1, 64, 64, 6), 91) * 0.2 + 0.5
+    m0 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
+                  fuse_up_deconvs=False)
+    m1 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
+                  fuse_up_deconvs=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    np.testing.assert_allclose(
+        np.asarray(m1.apply({"params": params}, x)),
+        np.asarray(m0.apply({"params": params}, x)),
+        atol=1e-5, rtol=1e-4)
+
+
 def test_piece_head_first_matches_plain():
     """[dc|pf|y] piece output order must be numerically identical to the
     default order (same slices, different offsets)."""
