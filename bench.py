@@ -50,17 +50,24 @@ def main() -> None:
         return jnp.mean(x)
 
     float(overhead(x0))
+    t0 = time.perf_counter()
     float(bench(params, x0))  # compile + warmup
+    compile_s = time.perf_counter() - t0
+
+    # Cold-cache guard: if the warmup hit a cold compile (~8-10 min via the
+    # remote AOT service when the persistent XLA cache misses), drop to one
+    # repeat so the driver's time budget still captures an honest number.
+    repeats = 1 if compile_s > 60.0 else REPEATS
 
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         float(overhead(x0))
-    ovh = (time.perf_counter() - t0) / REPEATS
+    ovh = (time.perf_counter() - t0) / repeats
 
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         float(bench(params, x0))
-    per_step = ((time.perf_counter() - t0) / REPEATS - ovh) / LOOP_N
+    per_step = ((time.perf_counter() - t0) / repeats - ovh) / LOOP_N
 
     per_chip = batch / per_step / n_dev
     print(json.dumps({

@@ -100,7 +100,7 @@ class ConvLR(nn.Module):
                 and self.stride == 1 and self.padding == d):
             from opticalflow_tpu.ops.pallas_dilated import (
                 conv_dilated3x3_act, dilated_supported)
-            if dilated_supported(x, d):
+            if dilated_supported(x, d, self.features):
                 y = conv_dilated3x3_act(x.astype(self.dtype),
                                         k.astype(self.dtype), b, d)
                 return y.astype(self.dtype)

@@ -62,15 +62,21 @@ def _row_tile(h: int, w: int, c: int, co: int, d: int,
     return h if fits(h) else None
 
 
-def dilated_supported(x: jax.Array, d: int) -> bool:
-    """Pallas path availability: TPU backend + a workable row tiling."""
+def dilated_supported(x: jax.Array, d: int, co: int = 0) -> bool:
+    """Pallas path availability: TPU backend + a workable row tiling.
+
+    ``co`` is the output channel count (defaults to the input's, which is
+    correct for every context-net conv today) — probing with the real value
+    keeps this gate in sync with ``_dilated_impl``'s tile search, which
+    otherwise raises at trace time instead of falling back (ADVICE round 2).
+    """
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:  # pragma: no cover
         return False
     _, h, w, c = x.shape
-    return _row_tile(h, w, c, c, d, x.dtype.itemsize) is not None
+    return _row_tile(h, w, c, co or c, d, x.dtype.itemsize) is not None
 
 
 def _kernel(d, th, w, co, epilogue, x_hbm, w_ref, b_ref, out_ref,
