@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--compare-method", default="farneback",
                    choices=("farneback", "dis", "lucaskanade_dense"))
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--no-decimate", action="store_true",
+                   help="arrows/vanish: ship the full quarter-res flow "
+                        "instead of the device-decimated arrow grid "
+                        "(debugging aid; ~16x more D2H)")
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
                    default="bfloat16")
     p.add_argument("--complexity", action="store_true",
@@ -51,7 +55,8 @@ def main(argv=None) -> int:
     from opticalflow_tpu.train.checkpoints import load_params
     from opticalflow_tpu.video import VideoFlowRunner, frame_pairs_from_video
     from opticalflow_tpu.viz import overlay as ov
-    from opticalflow_tpu.viz.colorwheel import flow_to_color
+    from opticalflow_tpu.runtime.flowviz import (flow_to_color_native,
+                                                 resize_flow_native)
     from opticalflow_tpu.viz.vanishing import (estimate_vanishing_point,
                                                draw_vanishing_point,
                                                vanish_frame)
@@ -75,8 +80,13 @@ def main(argv=None) -> int:
     from opticalflow_tpu.utils.profiling import param_count
     print(f"model: PWCDCNet[{args.variant}] {param_count(params)/1e6:.2f}M "
           f"params, {args.dtype}")  # the reference prints ptflops at load
+    # arrows/vanish read only every --step-th pixel: decimate on device so
+    # the D2H ships the arrow grid, not the quarter-res field (~16x less)
+    gstep = (args.step if args.mode in ("arrows", "vanish")
+             and not args.no_decimate else None)
     runner = VideoFlowRunner(model, params, preset=args.preset,
-                             flow_scale=args.flow_scale, batch=args.batch)
+                             flow_scale=args.flow_scale, batch=args.batch,
+                             grid_step=gstep)
 
     cap = cv2.VideoCapture(args.video)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
@@ -84,8 +94,9 @@ def main(argv=None) -> int:
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     cap.release()
     out_w = w * 2 if args.mode in ("color", "compare") else w
-    writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (out_w, h))
+    from opticalflow_tpu.io.video import AsyncVideoWriter
+    writer = AsyncVideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
+                              fps, (out_w, h))
 
     tv_matrix = tv.perspective_matrix(w, h) if args.mode == "topview" else None
     frames = frame_pairs_from_video(args.video, max_frames=args.max_frames)
@@ -100,22 +111,28 @@ def main(argv=None) -> int:
         if args.mode == "arrows":
             out = ov.arrow_overlay(frame, qflow, step=args.step,
                                    scale=args.arrow_scale,
-                                   title="PWC-Net (TPU)")
+                                   title="PWC-Net (TPU)", grid_step=gstep)
         elif args.mode == "color":
-            full = ov.resize_flow_np(qflow, h, w)
-            out = ov.side_by_side(frame, flow_to_color(full)[..., ::-1])
+            full = resize_flow_native(qflow, h, w)
+            out = ov.side_by_side(frame,
+                                  flow_to_color_native(full)[..., ::-1])
         elif args.mode == "vanish":
-            full = ov.resize_flow_np(qflow, h, w)
             if args.shrink < 1.0:
-                out = vanish_frame(frame, full, step=args.step,
+                out = vanish_frame(frame, qflow, step=args.step,
                                    scale=args.arrow_scale,
                                    shrink_ratio=args.shrink,
-                                   title="PWC-Net VP (TPU)")
+                                   title="PWC-Net VP (TPU)",
+                                   grid_step=gstep)
             else:
-                out = ov.arrow_overlay(frame, full, step=args.step,
-                                       scale=args.arrow_scale)
-                out = draw_vanishing_point(out,
-                                           estimate_vanishing_point(full))
+                if gstep is None:  # --no-decimate: full-res field on host
+                    qflow = resize_flow_native(qflow, h, w)
+                out = ov.arrow_overlay(frame, qflow, step=args.step,
+                                       scale=args.arrow_scale,
+                                       grid_step=gstep)
+                out = draw_vanishing_point(
+                    out, estimate_vanishing_point(
+                        qflow, step=args.step, grid_step=gstep,
+                        frame_hw=(h, w)))
         elif args.mode == "compare":
             left = ov.arrow_overlay(frame, qflow, step=args.step,
                                     scale=args.arrow_scale, title="PWC-Net")

@@ -31,10 +31,41 @@ import jax.numpy as jnp
 
 from opticalflow_tpu.models.pwcnet import PWCDCNet
 
-__all__ = ["VideoFlowRunner", "frame_pairs_from_video"]
+__all__ = ["VideoFlowRunner", "frame_pairs_from_video", "decimate_flow"]
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def decimate_flow(flow: jnp.ndarray, grid_step: int, frame_h: int,
+                  frame_w: int) -> jnp.ndarray:
+    """On-device grid decimation of quarter-res flow before D2H.
+
+    Replicates the host path exactly — ``resize_flow_np(flow, frame_h,
+    frame_w)`` (cv2 INTER_LINEAR half-pixel mapping + vector rescale
+    ``frame_w/Wq``, ``frame_h/Hq``) read at every ``grid_step``-th full-res
+    pixel — but samples the (B, Hq, Wq, 2) field directly on device.  The
+    arrow/vanish overlays read only every 16th pixel, so shipping the grid
+    instead of the quarter field cuts the readback ~16× (~256× vs full-res;
+    VERDICT round-2 task 3).  Output ``g[b, i, j]`` is the full-res-pixel-
+    units flow vector at frame pixel ``(j*grid_step, i*grid_step)``.
+    """
+    b, hq, wq, _ = flow.shape
+    gy = jnp.arange(0, frame_h, grid_step, dtype=jnp.float32)
+    gx = jnp.arange(0, frame_w, grid_step, dtype=jnp.float32)
+    fy = jnp.clip((gy + 0.5) * (hq / frame_h) - 0.5, 0.0, hq - 1.0)
+    fx = jnp.clip((gx + 0.5) * (wq / frame_w) - 0.5, 0.0, wq - 1.0)
+    y0 = jnp.minimum(jnp.floor(fy).astype(jnp.int32), max(hq - 2, 0))
+    x0 = jnp.minimum(jnp.floor(fx).astype(jnp.int32), max(wq - 2, 0))
+    wy = (fy - y0)[None, :, None, None]
+    wx = (fx - x0)[None, None, :, None]
+    r0 = flow[:, y0]
+    r1 = flow[:, jnp.minimum(y0 + 1, hq - 1)]
+    x1 = jnp.minimum(x0 + 1, wq - 1)
+    top = r0[:, :, x0] * (1 - wx) + r0[:, :, x1] * wx
+    bot = r1[:, :, x0] * (1 - wx) + r1[:, :, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return out * jnp.array([frame_w / wq, frame_h / hq], out.dtype)
 
 
 def frame_pairs_from_video(path: str, max_frames: Optional[int] = None,
@@ -80,7 +111,7 @@ class VideoFlowRunner:
 
     def __init__(self, model: PWCDCNet, params, *, preset: str = "rgb_unit",
                  flow_scale: float = 1.0, batch: int = 4, depth: int = 2,
-                 mesh=None):
+                 mesh=None, grid_step: Optional[int] = None):
         if preset not in ("rgb_unit", "bgr_unit", "rgb_imagenet"):
             raise ValueError(f"unknown preprocessing preset {preset!r}")
         self.model = model
@@ -89,7 +120,9 @@ class VideoFlowRunner:
         self.batch = batch
         self.depth = depth
         self.mesh = mesh
+        self.grid_step = grid_step
         pair_sharding = None
+        self._frames_sharding = None
         if mesh is not None:
             from opticalflow_tpu.parallel.mesh import (batch_sharding,
                                                        replicated)
@@ -99,13 +132,24 @@ class VideoFlowRunner:
                     f"{mesh.devices.size}")
             pair_sharding = batch_sharding(mesh)
             params = jax.device_put(params, replicated(mesh))
+            # Frames upload exactly once: H-sharded across the mesh, each
+            # device receives its stripe so total H2D equals the array size;
+            # the pair reshard below then rides the device interconnect.  An
+            # uncommitted numpy arg would let GSPMD replicate it host-side —
+            # one H2D per device, ruinous on a PCIe/relay-attached host.
+            # (Same device set as the replicated params, which a
+            # SingleDeviceSharding would violate inside jit.)
+            axis = mesh.axis_names[0]
+            self._frames_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, axis))
+            self._frames_replicated = replicated(mesh)
         self.params = jax.tree.map(jnp.asarray, params)
 
         mean = jnp.asarray(_IMAGENET_MEAN)
         std = jnp.asarray(_IMAGENET_STD)
         scale = self.flow_scale
 
-        def step(params, frames_u8):
+        def step(params, frames_u8, frame_h, frame_w):
             # frames_u8: (B+1, H64, W64, 3) — B pairs formed on device
             x = frames_u8.astype(jnp.float32) / 255.0
             if preset == "bgr_unit":
@@ -115,9 +159,13 @@ class VideoFlowRunner:
             pairs = jnp.concatenate([x[:-1], x[1:]], axis=-1)
             if pair_sharding is not None:
                 pairs = jax.lax.with_sharding_constraint(pairs, pair_sharding)
-            return self.model.apply({"params": params}, pairs) * scale
+            flow = self.model.apply({"params": params}, pairs) * scale
+            if grid_step is not None:
+                flow = decimate_flow(flow, grid_step, frame_h, frame_w)
+            return flow
 
-        self._step = jax.jit(step)
+        # frame_h/frame_w static: constant per stream, one trace per size
+        self._step = jax.jit(step, static_argnums=(2, 3))
 
     def _pad(self, frame: np.ndarray) -> np.ndarray:
         h, w = frame.shape[:2]
@@ -135,7 +183,10 @@ class VideoFlowRunner:
 
         ``quarter_flow`` is (H64/4, W64/4, 2) in pixel units at that scale —
         pass through ``viz.overlay.resize_flow_np`` (done by the overlay
-        helpers) to draw at frame resolution.
+        helpers) to draw at frame resolution.  With ``grid_step`` set the
+        third element is instead the device-decimated (gh, gw, 2) grid in
+        full-res pixel units (see :func:`decimate_flow`) — pass it to the
+        overlay helpers with the same ``grid_step``.
         """
         inflight = collections.deque()
         buf = []          # padded frames in the current window (B+1 of them)
@@ -153,7 +204,13 @@ class VideoFlowRunner:
             while len(buf) < self.batch + 1:
                 buf.append(buf[-1])
             arr = np.stack(buf)  # (B+1, H64, W64, 3) uint8, each frame once
-            out = self._step(self.params, arr)
+            if self._frames_sharding is not None:
+                sh = (self._frames_sharding
+                      if arr.shape[1] % self.mesh.devices.size == 0
+                      else self._frames_replicated)
+                arr = jax.device_put(arr, sh)
+            fh, fw = metas[0][0].shape[:2]  # real (unpadded) frame size
+            out = self._step(self.params, arr, fh, fw)
             inflight.append((out, n_real, metas))
             # the window boundary frame opens the next window (it is the
             # first element of that window's first pair) — re-uploaded once

@@ -46,29 +46,86 @@ def resize_flow_np(flow: np.ndarray, height: int, width: int) -> np.ndarray:
     return np.dstack([u, v])
 
 
+def draw_arrows_batch(img: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                      bgr: Tuple[int, int, int], *, thickness: int = 1,
+                      tip_length: float = 0.3) -> None:
+    """Draw N arrows in ONE ``cv2.polylines`` call, pixel-identical to N
+    ``cv2.arrowedLine`` calls (OpenCV's arrowedLine is three cv2.line calls;
+    ``np.rint`` matches cvRound's round-half-to-even).  ``p0``/``p1`` are
+    (N, 2) integer-valued endpoint arrays.  In-place on ``img``.
+
+    This replaces the reference's per-grid-point Python loop
+    (``pwc_extract_flow_video.py:94-142``) — the binding stage of the
+    streaming overlay at Sintel resolution (PERF.md round-2 breakdown).
+    """
+    import cv2
+    if len(p0) == 0:
+        return
+    d = p0.astype(np.float64) - p1.astype(np.float64)  # pt1 - pt2
+    tip = np.hypot(d[:, 0], d[:, 1]) * tip_length
+    ang = np.arctan2(d[:, 1], d[:, 0])
+    pl = np.stack([np.rint(p1[:, 0] + tip * np.cos(ang + np.pi / 4)),
+                   np.rint(p1[:, 1] + tip * np.sin(ang + np.pi / 4))], axis=1)
+    pr = np.stack([np.rint(p1[:, 0] + tip * np.cos(ang - np.pi / 4)),
+                   np.rint(p1[:, 1] + tip * np.sin(ang - np.pi / 4))], axis=1)
+    segs = np.concatenate([np.stack([p0, p1], axis=1),
+                           np.stack([pl, p1], axis=1),
+                           np.stack([pr, p1], axis=1)]).astype(np.int32)
+    cv2.polylines(img, segs, False, bgr, thickness)
+
+
+def _grid_vectors(flow: np.ndarray, h: int, w: int, step: int,
+                  grid_step: Optional[int]):
+    """(x, y, dx, dy) float64 arrays at every ``step`` full-res pixels.
+
+    ``grid_step`` set means ``flow`` is already grid-sampled on device at
+    that full-res spacing (vectors in full-res pixel units) — the streaming
+    runner's decimated D2H path.  ``flow[i, j]`` is then the vector at pixel
+    ``(j*grid_step, i*grid_step)`` and ``step`` is ignored; rows/cols whose
+    anchor falls outside the (unpadded) frame are dropped.
+    """
+    if grid_step is None:
+        flow = resize_flow_np(flow, h, w)
+        ys, xs = np.mgrid[0:h:step, 0:w:step]
+        u = flow[ys, xs, 0]
+        v = flow[ys, xs, 1]
+    else:
+        gh = min(flow.shape[0], -(-h // grid_step))
+        gw = min(flow.shape[1], -(-w // grid_step))
+        u = flow[:gh, :gw, 0]
+        v = flow[:gh, :gw, 1]
+        ys, xs = np.mgrid[0:gh * grid_step:grid_step,
+                          0:gw * grid_step:grid_step]
+    return (xs.ravel().astype(np.float64), ys.ravel().astype(np.float64),
+            u.ravel().astype(np.float64), v.ravel().astype(np.float64))
+
+
 def arrow_overlay(frame_bgr: np.ndarray, flow: np.ndarray, *, step: int = 16,
                   scale: float = 1.0, min_mag: float = 0.5,
                   title: Optional[str] = None,
-                  color: str | Tuple[int, int, int] = "red") -> np.ndarray:
+                  color: str | Tuple[int, int, int] = "red",
+                  grid_step: Optional[int] = None) -> np.ndarray:
     """Draw flow arrows on a BGR frame every ``step`` pixels.
 
     ``scale`` shortens arrows as it grows (drawn length = |flow|/scale),
-    vectors below ``min_mag`` are skipped — matching the reference defaults.
+    vectors below ``min_mag`` are skipped — matching the reference defaults
+    (``pwc_extract_flow_video.py:94-142``).  The grid read + arrow geometry
+    are vectorized and all arrows land in one ``cv2.polylines`` call,
+    pixel-identical to the per-point ``cv2.arrowedLine`` loop.
+    ``grid_step``: see :func:`_grid_vectors` (device-decimated flow).
     """
     import cv2
     h, w = frame_bgr.shape[:2]
-    flow = resize_flow_np(flow, h, w)
     out = frame_bgr.copy()
     bgr = ARROW_COLORS.get(color, color if isinstance(color, tuple)
                            else (0, 0, 255))
     inv = 1.0 / max(scale, 1e-6)
-    for y in range(0, h, step):
-        for x in range(0, w, step):
-            dx, dy = float(flow[y, x, 0]), float(flow[y, x, 1])
-            if dx * dx + dy * dy < min_mag * min_mag:
-                continue
-            tip = (int(round(x + dx * inv)), int(round(y + dy * inv)))
-            cv2.arrowedLine(out, (x, y), tip, bgr, thickness=1, tipLength=0.3)
+    x, y, dx, dy = _grid_vectors(flow, h, w, step, grid_step)
+    keep = dx * dx + dy * dy >= min_mag * min_mag
+    x, y, dx, dy = x[keep], y[keep], dx[keep], dy[keep]
+    p0 = np.stack([x, y], axis=1)
+    p1 = np.stack([np.rint(x + dx * inv), np.rint(y + dy * inv)], axis=1)
+    draw_arrows_batch(out, p0, p1, bgr)
     if title:
         cv2.rectangle(out, (10, 10), (10 + len(title) * 12, 40), (0, 0, 0), -1)
         cv2.putText(out, title, (14, 35), cv2.FONT_HERSHEY_SIMPLEX, 0.7,

@@ -63,24 +63,31 @@ def draw_direction_arrows(frame_bgr: np.ndarray, flow: np.ndarray, *,
                           min_mag: float = 0.5) -> np.ndarray:
     """Arrows colored red when within ``angle_threshold_deg`` of the dominant
     direction, white otherwise."""
-    import cv2
+    from opticalflow_tpu.viz.overlay import draw_arrows_batch
     out = frame_bgr.copy()
     h, w = frame_bgr.shape[:2]
     dom = None
     if dominant is not None and np.linalg.norm(dominant) > 0:
         dom = dominant / np.linalg.norm(dominant)
     cos_thr = np.cos(np.deg2rad(angle_threshold_deg))
-    for y in range(0, h, step):
-        for x in range(0, w, step):
-            fx, fy = float(flow[y, x, 0]), float(flow[y, x, 1])
-            mag = (fx * fx + fy * fy) ** 0.5
-            if mag < min_mag:
-                continue
-            color = (0, 0, 255)
-            if dom is not None:
-                cosang = (fx * dom[0] + fy * dom[1]) / mag
-                if cosang < cos_thr:
-                    color = (255, 255, 255)
-            tip = (int(x + fx * scale), int(y + fy * scale))
-            cv2.arrowedLine(out, (x, y), tip, color, 2, tipLength=0.3)
+    ys, xs = np.mgrid[0:h:step, 0:w:step]
+    fx = flow[ys, xs, 0].astype(np.float64).ravel()
+    fy = flow[ys, xs, 1].astype(np.float64).ravel()
+    x = xs.ravel().astype(np.float64)
+    y = ys.ravel().astype(np.float64)
+    mag = np.hypot(fx, fy)
+    keep = mag >= min_mag
+    x, y, fx, fy, mag = x[keep], y[keep], fx[keep], fy[keep], mag[keep]
+    p0 = np.stack([x, y], axis=1)
+    # int() truncation toward zero, as the per-point loop did
+    p1 = np.stack([np.trunc(x + fx * scale), np.trunc(y + fy * scale)], axis=1)
+    white = (np.zeros(len(x), bool) if dom is None
+             else (fx * dom[0] + fy * dom[1]) / mag < cos_thr)
+    # one polylines call per same-color run, preserving the per-point loop's
+    # grid draw order exactly (later arrows overwrite earlier ones where
+    # red/white overlap)
+    bounds = np.flatnonzero(np.diff(white))
+    for lo, hi in zip(np.r_[0, bounds + 1], np.r_[bounds + 1, len(white)]):
+        color = (255, 255, 255) if white[lo] else (0, 0, 255)
+        draw_arrows_batch(out, p0[lo:hi], p1[lo:hi], color, thickness=2)
     return out

@@ -21,13 +21,16 @@ __all__ = ["estimate_vanishing_point", "draw_vanishing_point",
            "vanish_frame"]
 
 
-def _sample_vectors(flow: np.ndarray, step: int, min_mag: float):
-    h, w, _ = flow.shape
-    yy, xx = np.mgrid[0:h:step, 0:w:step]
-    u = flow[yy, xx, 0].astype(np.float64).ravel()
-    v = flow[yy, xx, 1].astype(np.float64).ravel()
-    x = xx.astype(np.float64).ravel()
-    y = yy.astype(np.float64).ravel()
+def _sample_vectors(flow: np.ndarray, step: int, min_mag: float,
+                    grid_step: Optional[int] = None,
+                    frame_hw: Optional[Tuple[int, int]] = None):
+    from opticalflow_tpu.viz.overlay import _grid_vectors
+    if grid_step is not None:
+        h, w = frame_hw or (flow.shape[0] * grid_step,
+                            flow.shape[1] * grid_step)
+    else:
+        h, w = flow.shape[:2]
+    x, y, u, v = _grid_vectors(flow, h, w, step, grid_step)
     mag = np.hypot(u, v)
     keep = mag >= min_mag
     return x[keep], y[keep], u[keep] / mag[keep], v[keep] / mag[keep], mag[keep]
@@ -37,13 +40,22 @@ def estimate_vanishing_point(
         flow: np.ndarray, *, step: int = 16, min_mag: float = 1.0,
         max_points: int = 300, grid_size: int = 64, min_pairs: int = 50,
         rng: Optional[np.random.Generator] = None,
+        grid_step: Optional[int] = None,
+        frame_hw: Optional[Tuple[int, int]] = None,
 ) -> Optional[Tuple[float, float, float]]:
     """Estimate the flow vanishing point → (vx, vy, confidence) or None.
 
     Confidence is the winning bin's share of total histogram votes.
+    ``grid_step``/``frame_hw``: flow is already device-decimated to a grid
+    of that full-res spacing (see ``viz.overlay._grid_vectors``).
     """
-    h, w, _ = flow.shape
-    x, y, dx, dy, mag = _sample_vectors(flow, step, min_mag)
+    if grid_step is not None:
+        h, w = frame_hw or (flow.shape[0] * grid_step,
+                            flow.shape[1] * grid_step)
+    else:
+        h, w = flow.shape[:2]
+    x, y, dx, dy, mag = _sample_vectors(flow, step, min_mag, grid_step,
+                                        (h, w))
     n = x.size
     if n < 5:
         return None
@@ -122,7 +134,8 @@ def vanish_frame(frame_bgr: np.ndarray, flow: np.ndarray, *,
                  step: int = 16, scale: float = 1.0, min_mag: float = 1.0,
                  shrink_ratio: float = 0.75, title: Optional[str] = None,
                  arrow_color=(0, 0, 255),
-                 draw_vp: bool = True) -> np.ndarray:
+                 draw_vp: bool = True,
+                 grid_step: Optional[int] = None) -> np.ndarray:
     """The reference's extended quiver frame
     (``pwc_extract_flow_video_vanishpoint.py:258-382``): the frame is shrunk
     by ``shrink_ratio`` onto a black canvas of the original size, arrows and
@@ -131,9 +144,11 @@ def vanish_frame(frame_bgr: np.ndarray, flow: np.ndarray, *,
     ``shrink_ratio >= 1`` draws on the frame directly.
     """
     import cv2
+    from opticalflow_tpu.viz.overlay import (_grid_vectors,
+                                             draw_arrows_batch,
+                                             resize_flow_np)
     h, w = frame_bgr.shape[:2]
-    if flow.shape[:2] != (h, w):
-        from opticalflow_tpu.viz.overlay import resize_flow_np
+    if grid_step is None and flow.shape[:2] != (h, w):
         flow = resize_flow_np(flow, h, w)
 
     out = np.zeros_like(frame_bgr)
@@ -150,23 +165,21 @@ def vanish_frame(frame_bgr: np.ndarray, flow: np.ndarray, *,
         s = 1.0
 
     inv = 1.0 / max(scale, 1e-6)
-    for y in range(0, h, step):
-        for x in range(0, w, step):
-            dx, dy = float(flow[y, x, 0]), float(flow[y, x, 1])
-            if dx * dx + dy * dy < min_mag * min_mag:
-                continue
-            x0 = int(round(ox + x * s))
-            y0 = int(round(oy + y * s))
-            x1 = int(round(ox + (x + dx * inv) * s))
-            y1 = int(round(oy + (y + dy * inv) * s))
-            if not (0 <= x0 < w and 0 <= y0 < h
-                    and 0 <= x1 < w and 0 <= y1 < h):
-                continue
-            cv2.arrowedLine(out, (x0, y0), (x1, y1), arrow_color,
-                            thickness=1, tipLength=0.3)
+    x, y, dx, dy = _grid_vectors(flow, h, w, step, grid_step)
+    keep = dx * dx + dy * dy >= min_mag * min_mag
+    x, y, dx, dy = x[keep], y[keep], dx[keep], dy[keep]
+    x0 = np.rint(ox + x * s)
+    y0 = np.rint(oy + y * s)
+    x1 = np.rint(ox + (x + dx * inv) * s)
+    y1 = np.rint(oy + (y + dy * inv) * s)
+    inb = ((x0 >= 0) & (x0 < w) & (y0 >= 0) & (y0 < h)
+           & (x1 >= 0) & (x1 < w) & (y1 >= 0) & (y1 < h))
+    draw_arrows_batch(out, np.stack([x0[inb], y0[inb]], axis=1),
+                      np.stack([x1[inb], y1[inb]], axis=1), arrow_color)
 
     if draw_vp:
-        vp = estimate_vanishing_point(flow, step=step, min_mag=min_mag)
+        vp = estimate_vanishing_point(flow, step=step, min_mag=min_mag,
+                                      grid_step=grid_step, frame_hw=(h, w))
         if vp is not None and np.isfinite(vp[0]) and np.isfinite(vp[1]):
             vx, vy, prob = vp
             vxs = int(round(ox + vx * s))

@@ -96,9 +96,9 @@ def test_each_frame_uploaded_once(runner):
     shapes = []
     orig = runner._step
 
-    def spy(params, arr):
+    def spy(params, arr, fh, fw):
         shapes.append(arr.shape)
-        return orig(params, arr)
+        return orig(params, arr, fh, fw)
 
     runner._step = spy
     try:
