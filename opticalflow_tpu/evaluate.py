@@ -39,55 +39,104 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
     ``size_mode``: "pad" replicates ``inference_kitti.py`` (v2, the better
     pipeline); "resize" replicates the distorting-resize convention of
     ``inference.py`` (v1) and ``script_pwc.py``.  Returns {"epe": mean,
-    "fl_all": mean%} (NaN-mean over pairs, like the reference)."""
+    "fl_all": mean%} (NaN-mean over pairs, like the reference).
+
+    Samples STREAM through: a background thread fetches pairs into a
+    bounded queue (host decode overlaps device compute) and each shape
+    group's buffer is flushed — flow, metrics, optional save — as soon as
+    it fills, so at most ~2·``batch`` samples are ever resident (the
+    returned ``peak_resident`` records the max; the round-2 version
+    materialized the whole dataset first, ~2.8 GB for Sintel clean)."""
+    import os
+    import queue as _queue
+    import threading
+
     batch = max(1, int(batch))
     n = len(dataset) if limit is None else min(limit, len(dataset))
 
-    # group indices by frame shape so each group batches at constant shape
-    # (KITTI/Sintel are constant-shape; mixed datasets still work)
+    # ---- producer: fetch samples into a bounded queue (≤ batch waiting)
+    q: "_queue.Queue" = _queue.Queue(maxsize=batch)
+    resident = [0]          # fetched-but-unreleased samples (lock: count_lk)
+    peak = [0]
+    count_lk = threading.Lock()
+
+    def _produce():
+        for i in range(n):
+            s = dataset[i]
+            with count_lk:
+                resident[0] += 1
+                peak[0] = max(peak[0], resident[0])
+            q.put((i, s))
+        q.put(None)
+
+    threading.Thread(target=_produce, daemon=True).start()
+
+    epe_by_i: Dict[int, float] = {}
+    fl_by_i: Dict[int, float] = {}
+    stem_by_i: Dict[int, str] = {}
+
+    def _flush(buf):
+        """Run one (possibly padded) batch and release its samples."""
+        pad = buf + [buf[-1]] * (batch - len(buf))
+        flows = engine.flow_from_pairs([s["im1"] for _, s in pad],
+                                       [s["im2"] for _, s in pad],
+                                       preset=preset, size_mode=size_mode)
+        for k, (i, s) in enumerate(buf):
+            flow = np.asarray(flows[k])
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                stem = s["stem"].replace("/", "_")
+                if save_format == "flo":
+                    from opticalflow_tpu.io.flo import write_flo
+                    write_flo(os.path.join(save_dir, f"{stem}.flo"), flow)
+                else:
+                    from opticalflow_tpu.io.kitti import write_flow_png
+                    write_flow_png(os.path.join(save_dir, f"{stem}.png"),
+                                   flow)
+            if "flow" in s:
+                epe_by_i[i] = M.epe(flow, s["flow"], s.get("valid"))
+                fl_by_i[i] = M.fl_all(flow, s["flow"], s.get("valid"))
+                stem_by_i[i] = s["stem"]
+        released = len(buf)
+        buf.clear()
+        with count_lk:
+            resident[0] -= released
+
+    # ---- consumer: per-shape buffers, flushed when full; total pending
+    # capped at one batch (flush the fullest group early) so queue + pending
+    # stays ≤ 2·batch even for adversarially interleaved shapes
     groups: Dict[tuple, list] = {}
-    samples = [dataset[i] for i in range(n)]
-    for i, s in enumerate(samples):
-        groups.setdefault(tuple(s["im1"].shape), []).append(i)
+    pending = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        i, s = item
+        buf = groups.setdefault(tuple(s["im1"].shape), [])
+        buf.append((i, s))
+        pending += 1
+        if len(buf) == batch:
+            _flush(buf)
+            pending -= batch
+        elif pending == batch:
+            fullest = max(groups.values(), key=len)
+            pending -= len(fullest)
+            _flush(fullest)
+    for buf in groups.values():
+        if buf:
+            _flush(buf)
 
-    results = {}
-    for idxs in groups.values():
-        for start in range(0, len(idxs), batch):
-            chunk = idxs[start:start + batch]
-            # pad the final chunk to the compiled batch size
-            padded = chunk + [chunk[-1]] * (batch - len(chunk))
-            flows = engine.flow_from_pairs(
-                [samples[i]["im1"] for i in padded],
-                [samples[i]["im2"] for i in padded],
-                preset=preset, size_mode=size_mode)
-            for k, i in enumerate(chunk):
-                results[i] = np.asarray(flows[k])
-
-    epes, fls = [], []
-    for i, s in enumerate(samples):
-        flow = results[i]
-        if save_dir:
-            import os
-            os.makedirs(save_dir, exist_ok=True)
-            stem = s["stem"].replace("/", "_")
-            if save_format == "flo":
-                from opticalflow_tpu.io.flo import write_flo
-                write_flo(os.path.join(save_dir, f"{stem}.flo"), flow)
-            else:
-                from opticalflow_tpu.io.kitti import write_flow_png
-                write_flow_png(os.path.join(save_dir, f"{stem}.png"), flow)
-        if "flow" in s:
-            valid = s.get("valid")
-            e = M.epe(flow, s["flow"], valid)
-            f = M.fl_all(flow, s["flow"], valid)
-            epes.append(e)
-            fls.append(f)
-            if verbose:
-                print(f"{s['stem']} | EPE: {e:.3f} | Fl-all: {f:.2f}%")
+    if verbose:
+        for i in sorted(epe_by_i):
+            print(f"{stem_by_i[i]} | EPE: {epe_by_i[i]:.3f} | "
+                  f"Fl-all: {fl_by_i[i]:.2f}%")
+    epes = [epe_by_i[i] for i in sorted(epe_by_i)]
+    fls = [fl_by_i[i] for i in sorted(fl_by_i)]
     out = {
         "epe": float(np.nanmean(epes)) if epes else float("nan"),
         "fl_all": float(np.nanmean(fls)) if fls else float("nan"),
         "num_pairs": n,
+        "peak_resident": peak[0],
     }
     if verbose:
         print("=" * 60)
