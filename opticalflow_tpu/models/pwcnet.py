@@ -38,6 +38,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from opticalflow_tpu.ops.convops import conv2d, deconv2d, leaky_relu
 from opticalflow_tpu.ops.correlation import correlation
 from opticalflow_tpu.ops.warp import warp_with_mask
@@ -371,8 +373,12 @@ class PWCDCNet(nn.Module):
                 [Ws[i][:, :, in_off(i, p):in_off(i, p) + pw, :]
                  for i in order],
                 axis=-1).astype(dt)
-            zs.append(conv2d(pieces[p], kj, None, stride=1, padding=1,
-                             out_dtype=dt))
+            # named for selective remat: TrainConfig(remat="l2") recomputes
+            # these ≥130-lane quarter-res partials in the backward pass
+            # instead of storing them (the single largest activation group)
+            zs.append(checkpoint_name(
+                conv2d(pieces[p], kj, None, stride=1, padding=1,
+                       out_dtype=dt), "l2_piece_out"))
             if p < n:
                 acc = zs[0][..., out_off(0, p):out_off(0, p) + w[p]]
                 for q in range(1, p + 1):
@@ -635,11 +641,12 @@ class PWCDCNet(nn.Module):
         for i, (feats_n, dil) in enumerate(dc_specs, start=1):
             if i < dc_start:
                 continue
-            dc = ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
-                        precision=self.precision,
-                        s2d_dilated=self.use_s2d_context,
-                        pallas_dilated=self.use_pallas_context,
-                        name=f"dc_conv{i}")(dc)
+            dc = checkpoint_name(
+                ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
+                       precision=self.precision,
+                       s2d_dilated=self.use_s2d_context,
+                       pallas_dilated=self.use_pallas_context,
+                       name=f"dc_conv{i}")(dc), "l2_ctx")
         flows[2] = flows[2] + PredictFlow(dtype=self.dtype,
                                           precision=self.precision,
                                           name="dc_conv7")(dc)

@@ -64,9 +64,12 @@ class TrainConfig:
     # (the reference's own fine-tunes) use 1.0.
     flow_scale: float = 1.0
     # rematerialize the forward during backprop (jax.checkpoint): trades
-    # ~30% step FLOPs for activation memory — the knob for large crops /
-    # batches that otherwise exhaust HBM.
-    remat: bool = False
+    # step FLOPs for activation memory — the knob for large crops / batches
+    # that otherwise exhaust HBM.  True recomputes the whole forward;
+    # "l2" recomputes only the named L2-resolution groups (the piece-conv
+    # partials and context chain, the largest activations by far) from
+    # their saved inputs — much cheaper than a full re-forward.
+    remat: Any = False          # False | True | "l2"
 
 
 class TrainState(struct.PyTreeNode):
@@ -154,7 +157,11 @@ def _compute_loss(model, params, batch: Dict[str, jax.Array],
     def fwd(p, xx):
         return model.apply({"params": p}, xx, train=True)
 
-    if cfg.remat:
+    if cfg.remat == "l2":
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies
+            .save_anything_except_these_names("l2_piece_out", "l2_ctx"))
+    elif cfg.remat:
         fwd = jax.checkpoint(fwd)
     preds = fwd(params, x)
     flow2 = preds[0] * cfg.flow_scale

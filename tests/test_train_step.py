@@ -1,5 +1,7 @@
 """Training-step tests: losses decrease, sharded multi-device step runs."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -167,3 +169,23 @@ def test_plateau_controller_requires_injected_lr():
     state = pc.step(state, 1.0)
     with pytest.raises(ValueError, match="learning_rate"):
         pc.step(state, 1.0)
+
+
+@pytest.mark.parametrize("remat", [True, "l2"])
+def test_remat_variants_match_no_remat_grads(tiny_model, remat):
+    """Full and selective (L2-groups-only) remat are pure memory/time
+    trades: the gradients must be bit-comparable to the no-remat step."""
+    from opticalflow_tpu.train.trainer import _compute_loss
+    cfg0 = TrainConfig(loss="multiscale")
+    cfgr = dataclasses.replace(cfg0, remat=remat)
+    state, _ = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg0)
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+
+    def grads(cfg):
+        g = jax.grad(lambda p: _compute_loss(tiny_model, p, batch, cfg)[0])(
+            state.params)
+        return jax.tree.map(np.asarray, g)
+
+    g0, gr = grads(cfg0), grads(cfgr)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 g0, gr)
