@@ -28,7 +28,9 @@ def main():
                                                make_train_step)
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    remat = len(sys.argv) > 2 and bool(int(sys.argv[2]))
+    # argv[2]: remat mode — 0 (off), 1 (full forward), or "l2" (selective)
+    raw = sys.argv[2] if len(sys.argv) > 2 else "0"
+    remat = raw if raw == "l2" else bool(int(raw))
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast")
     cfg = TrainConfig(loss="multiscale", optimizer="adamw", lr=1e-4,
                       remat=remat)
@@ -73,7 +75,7 @@ def main():
 
     print(json.dumps({
         "metric": f"train_step_{H}x{W}_pairs_per_sec_per_chip",
-        "batch": batch, "remat": remat,
+        "batch": batch, "remat": str(remat),
         "ms_per_step": round(per_step * 1000, 2),
         "pairs_per_sec": round(batch / per_step, 2),
     }))

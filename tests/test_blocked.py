@@ -88,6 +88,7 @@ def test_full_level1_chain_blocked():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_blocked_lvl1_matches_unblocked():
     """PWCDCNet(use_blocked_lvl1=True) must match the plain fast-mode model
     bit-near-exactly (same params, same tree) and keep gradients flowing."""
@@ -126,6 +127,7 @@ def test_s2d_dilated_conv_matches_plain():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_heads_and_s2d_context_match_plain():
     """use_fused_heads + use_s2d_context must match the plain fast-mode
     model with identical params (tree unchanged), incl. under grad."""
@@ -153,6 +155,7 @@ def test_model_fused_heads_and_s2d_context_match_plain():
     assert float(jnp.linalg.norm(g["dc_conv5"]["kernel"])) > 0
 
 
+@pytest.mark.slow
 def test_model_piece_dense_matches_plain():
     """Producer-piece level-2 dense block (use_piece_dense) must match the
     plain fast-mode model with identical params, incl. under grad."""
@@ -255,6 +258,7 @@ def test_piece_head_first_matches_plain():
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_bf16_fast_model_differentiates():
     """bfloat16 + fast must be trainable end-to-end: the blocked conv path
     once emitted f32-out convs with bf16 kernels, whose transpose has no

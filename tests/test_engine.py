@@ -104,6 +104,7 @@ def test_flow_from_pairs_rejects_mixed_shapes(setup):
         engine.flow_from_pairs([a1, b1], [a2, b2])
 
 
+@pytest.mark.slow
 def test_evaluate_pairs_batched_matches_per_pair_real_engine(setup):
     """End-to-end: evaluate_pairs(batch=4) == evaluate_pairs(batch=1) with
     the real jitted engine, sharded over the 8-device mesh."""

@@ -31,6 +31,7 @@ def test_export_round_trip_parity(tmp_path, small_model):
     assert (tmp_path / "report.png").exists()
 
 
+@pytest.mark.slow
 def test_magnitude_prune(small_model):
     _, params = small_model
     pruned = prune.magnitude_prune(params, amount=0.3)

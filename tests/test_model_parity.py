@@ -90,6 +90,7 @@ def test_param_count_matches_reference():
     assert 9_000_000 < n < 10_000_000
 
 
+@pytest.mark.slow
 def test_generic_max_displacement_model():
     """md is a hyperparameter, not a constant: an md=2 model must build and
     run with (2·2+1)² = 25 correlation channels."""
@@ -136,6 +137,7 @@ def _realistic_pair(variant="new", h=256, w=512):
     return oracle, model, params
 
 
+@pytest.mark.slow
 def test_realistic_scale_parity_256x512():
     """Eval parity at 256x512 with O(10px) flow magnitudes (atol matches the
     2e-4 budget PERF.md states for the bf16 path; this runs f32/highest)."""

@@ -18,6 +18,7 @@ def test_plan_tiles_geometry():
         plan_tiles(500, 256, 64)
 
 
+@pytest.mark.slow
 def test_tiled_matches_monolithic():
     model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
     params = model.init(jax.random.PRNGKey(0),
@@ -39,6 +40,7 @@ def test_tiled_matches_monolithic():
     assert diff[:, -8:].mean() < 5e-3
 
 
+@pytest.mark.slow
 def test_tiled_with_mesh():
     model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
     params = model.init(jax.random.PRNGKey(0),
@@ -79,6 +81,7 @@ def test_halo_exchange_two_devices_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_halo_exchange_matches_monolithic():
     """shard_map + ppermute H-sharding over 4 devices: seam accuracy bounds
     vs the monolithic forward (same approximation class as recompute tiling;

@@ -32,6 +32,7 @@ def tiny_model():
     return PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
 
 
+@pytest.mark.slow
 def test_multiscale_train_step_decreases_loss(tiny_model):
     cfg = TrainConfig(loss="multiscale", lr=1e-4)
     state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
@@ -57,6 +58,7 @@ def test_charbonnier_full_step_runs(tiny_model):
     assert np.isfinite(float(metrics["epe"]))
 
 
+@pytest.mark.slow
 def test_proxy_step_runs(tiny_model):
     cfg = TrainConfig(loss="proxy")
     state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
@@ -67,6 +69,7 @@ def test_proxy_step_runs(tiny_model):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(tiny_model):
     """The 8-device data-parallel step must produce the same update as the
     unsharded one (XLA psum == serial gradient)."""
