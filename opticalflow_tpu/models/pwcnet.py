@@ -78,14 +78,6 @@ class ConvLR(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     precision: str = "highest"
-    # fast-mode only: run a dilated conv as plain convs over the d×d
-    # dilation phases (space_to_depth_d) — exact tap-for-tap re-indexing,
-    # much better MXU tiling than XLA's dilated lowering.
-    s2d_dilated: bool = False
-    # fast-mode only: dilated conv through the Pallas windowed-DMA kernel
-    # (ops/pallas_dilated.py) — nine static shifted matmuls, f32 VMEM
-    # accumulation; takes priority over s2d_dilated when supported.
-    pallas_dilated: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,27 +88,13 @@ class ConvLR(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         fast = self.precision == "fast" and self.dtype != jnp.float32
-        d = self.dilation
-        if (self.pallas_dilated and self.precision == "fast" and d >= 1
-                and self.kernel_size == 3
-                and self.stride == 1 and self.padding == d):
-            from opticalflow_tpu.ops.pallas_dilated import (
-                conv_dilated3x3_act, dilated_supported)
-            if dilated_supported(x, d, self.features):
-                y = conv_dilated3x3_act(x.astype(self.dtype),
-                                        k.astype(self.dtype), b, d)
-                return y.astype(self.dtype)
-        if (self.s2d_dilated and self.precision == "fast" and d > 1
-                and self.kernel_size == 3
-                and self.stride == 1 and self.padding == d
-                and x.shape[1] % d == 0 and x.shape[2] % d == 0):
-            from opticalflow_tpu.ops.blocked import (depth_to_space_d,
-                                                     space_to_depth_d)
-            xb = space_to_depth_d(x.astype(self.dtype), d)
-            yb = conv2d(xb, k.astype(self.dtype), None, stride=1, padding=1,
-                        out_dtype=self.dtype)
-            y = depth_to_space_d(yb, d, x.shape[0]) + b.astype(self.dtype)
-            return leaky_relu(y).astype(self.dtype)
+        # Dilated convs (the context net) go through XLA's own lowering on
+        # purpose: every alternative measured slower — per-conv and
+        # whole-chain space-to-depth phase decomposition, 9-tap shifted
+        # sums, and Pallas windowed-DMA kernels (which win standalone but
+        # force relayouts at the custom-call boundary).  Each ≤128-channel
+        # conv costs a flat ~2.35 ms at the L2 shape regardless of dilation
+        # — lane padding, not schedule (PERF.md round-2/round-3 logs).
         y = conv2d(x.astype(self.dtype), k.astype(self.dtype),
                    b.astype(self.dtype) if fast else b,
                    stride=self.stride, padding=self.padding,
@@ -205,43 +183,11 @@ class PWCDCNet(nn.Module):
     # only; 2.2x on the lvl1+conv2a chain, PERF.md). Exact re-indexing —
     # disabled automatically in "highest" mode and for the old variant.
     use_blocked_lvl1: bool = True
-    # fused Pallas dense-block+heads kernel at level 2 (fast mode + TPU):
-    # the 565-channel feature stack stays in VMEM, only predict_flow2 and
-    # dc_conv1 outputs reach HBM (see ops/pallas_dense.py). Default OFF —
-    # measured SLOWER than XLA on v5e (63.5 vs 41.6 ms standalone at B=32:
-    # the 6-deep halo recompute at VMEM-feasible row tiles costs more than
-    # the concat traffic it saves; PERF.md round-2 log). Kept for revisit
-    # with cross-tile reuse; correctness is fully tested.
-    use_fused_estimator: bool = False
-    # fast mode: predict_flow2 + dc_conv1 as ONE conv (Cin→130) with output
-    # order [dc_conv1 | flow] so the 128-lane slice is aligned. Default OFF:
-    # measured 238.1 vs 246.9 pairs/s at B=32 even with the aligned order —
-    # the 130-ch output needs a second lane tile and the split breaks XLA's
-    # head/context fusion (PERF.md round-2 log). Param tree unchanged.
-    use_fused_heads: bool = False
-    # fast mode: context-net dilated convs execute per dilation phase
-    # (see ConvLR.s2d_dilated) when the L2 grid divides the dilation.
-    # Default OFF: measured neutral at B=32 — the per-conv space-to-depth/
-    # inverse transposes cost what the better-tiled conv saves.
-    use_s2d_context: bool = False
     # fast mode, new variant: dense blocks + level-2 heads in producer-piece
     # form (see _piece_dense_l2/_piece_dense_upper) — no running concats,
     # every conv ≥34 output lanes. Default ON: measured 291.5 vs 246.9
     # pairs/s at B=32 (PERF.md round-2 log); exact (tested vs plain path).
     use_piece_dense: bool = True
-    # fast mode + TPU: context-net dilated convs (dc2..dc5) through the
-    # Pallas windowed-DMA kernel (ops/pallas_dilated.py). Default OFF:
-    # the kernels themselves beat XLA's dilated lowering (9.9 vs 13.7 ms
-    # at B=32) but the custom-call boundaries force standard layouts onto
-    # the surrounding L2 section — ~10 ms of relayout copies of the piece
-    # tensors (245.5 pairs/s vs 291.5; with the bias+LeakyReLU epilogue
-    # fused in-kernel and dc6 included still 249.4 — PERF.md round-2 log).
-    # Parked until pallas_call grows operand-layout control.
-    use_pallas_context: bool = False
-    # fast mode, piece form: emit [dc|pf|y-parts] per piece so the dc/pf
-    # accumulation slices land on lane-tile boundaries (columns 0/1) at the
-    # cost of +130-offset (misaligned) y-part reads. Perf experiment flag.
-    piece_head_first: bool = False
     # fast mode: each level's flow deconv + upfeat deconv as ONE 4-lane
     # deconv over [flow | xfeat] with a block kernel — halves the 2-lane
     # T(2,128) writes and the [up_flow|up_feat] block enters the next
@@ -346,29 +292,20 @@ class PWCDCNet(nn.Module):
                 return cins[min(i, n)] - cin0
             return sum(w[p:min(i, n)])
 
-        hf = self.piece_head_first
-
         def out_off(p, i):
-            """Offset of consumer i inside piece p's partial output.
-
-            Default order [y_p-part … y4-part | dc(128) | pf(2)] keeps the
-            y-part offsets where the consumer convs want them; head-first
-            [dc | pf | y-parts] puts the dc/pf accumulation slices on lane
-            tile boundaries (columns 0 and 1) instead."""
-            if hf:
-                if i == n:
-                    return 0
-                if i == n + 1:
-                    return 128
-                return 130 + sum(w[p:i])
+            """Offset of consumer i inside piece p's partial output, ordered
+            [y_p-part … y4-part | dc(128) | pf(2)] — the y-part offsets land
+            where the consumer convs want them.  (A head-first [dc|pf|y]
+            order that aligns the dc/pf accumulation slices to lane-tile
+            boundaries measured neutral — the +130-offset misaligned y-part
+            reads repay the aligned head slices; PERF.md round-2 log.)"""
             return sum(w[p:min(i, n)]) + (128 if i == n + 1 else 0)
 
         pieces = [xin.astype(dt)]
         zs = []
         for p in range(n + 1):
             pw = pieces[p].shape[-1]
-            order = ([n, n + 1] + list(range(p, n)) if hf
-                     else list(range(p, n)) + [n, n + 1])
+            order = list(range(p, n)) + [n, n + 1]
             kj = jnp.concatenate(
                 [Ws[i][:, :, in_off(i, p):in_off(i, p) + pw, :]
                  for i in order],
@@ -478,53 +415,6 @@ class PWCDCNet(nn.Module):
         up_block = (y + b4).astype(dt)     # [up_flow | up_feat] for xin
         return up_flow, up_block
 
-    def _fused_heads_l2(self, xfeat):
-        """predict_flow2 + dc_conv1 as one conv over the level-2 feature
-        stack, output channels ordered [dc_conv1 (128) | flow (2)] so the
-        large slice lands on a lane boundary (the earlier [flow|dc] order
-        measured as a regression — PERF.md round-1 log).  Numerics per
-        output channel are identical to the separate convs; the param tree
-        is unchanged (_RawParams)."""
-        cin = xfeat.shape[-1]
-        kpf, bpf = _RawParams((3, 3, cin, 2), name="predict_flow2")()
-        kdc, bdc = _RawParams((3, 3, cin, 128), name="dc_conv1")()
-        k = jnp.concatenate([kdc, kpf], axis=-1).astype(self.dtype)
-        y = conv2d(xfeat.astype(self.dtype), k, None, stride=1, padding=1,
-                   out_dtype=self.dtype)
-        # dc_conv1 follows ConvLR's fast-mode convention, predict_flow2
-        # PredictFlow's (f32 bias-add promotes the flow to float32)
-        dc1 = leaky_relu(y[..., :128] + bdc.astype(self.dtype)
-                         ).astype(self.dtype)
-        flow = y[..., 128:].astype(jnp.float32) + bpf
-        return flow, dc1
-
-    def _use_fused(self, xin) -> bool:
-        from opticalflow_tpu.ops.pallas_dense import fused_supported
-        return (self.variant == "new" and self.precision == "fast"
-                and self.use_fused_estimator and fused_supported(xin))
-
-    def _fused_level2(self, xin):
-        """Level-2 estimator + heads through the fused Pallas kernel
-        (ops/pallas_dense.py): returns (flow2, dc_conv1 output); the
-        565-channel feature stack never leaves VMEM."""
-        from opticalflow_tpu.ops.pallas_dense import fused_dense_heads
-        cws, cbs = [], []
-        cin = xin.shape[-1]
-        for i, feats_n in enumerate(ESTIMATOR_CHANNELS):
-            k, b = _RawParams((3, 3, cin, feats_n), name=f"conv2_{i}")()
-            cws.append(k.astype(self.dtype))
-            cbs.append(b)
-            cin += feats_n
-        kpf, bpf = _RawParams((3, 3, cin, 2), name="predict_flow2")()
-        kdc, bdc = _RawParams((3, 3, cin, 128), name="dc_conv1")()
-        pf_raw, dc1 = fused_dense_heads(
-            xin.astype(self.dtype), tuple(cws), tuple(cbs),
-            (kpf.astype(self.dtype), kdc.astype(self.dtype)),
-            (None, bdc), (False, True))
-        # predict_flow convention: raw conv in compute dtype, f32 bias-add
-        # promotes the flow to float32 (see PredictFlow)
-        return pf_raw.astype(jnp.float32) + bpf, dc1
-
     def _pyramid(self, im):
         """Siamese feature pyramid; returns features at levels 1..6
         (level-1 entry is None on the blocked fast path — nothing reads it)."""
@@ -597,10 +487,6 @@ class PWCDCNet(nn.Module):
                         [up_flow.astype(self.dtype),
                          up_feat.astype(self.dtype)])
                 xin = jnp.concatenate([corr, c1[lvl]] + tail, axis=-1)
-            if lvl == 2 and self._use_fused(xin):
-                flows[2], dc = self._fused_level2(xin)
-                dc_start = 2   # dc_conv1 came out of the fused kernel
-                break
             piece = (self.use_piece_dense and self.variant == "new"
                      and self.precision == "fast")
             if lvl == 2 and piece:
@@ -612,11 +498,6 @@ class PWCDCNet(nn.Module):
                 flows[lvl] = flow
             else:
                 xfeat = self._dense_block(xin, lvl)
-                if (lvl == 2 and self.use_fused_heads
-                        and self.precision == "fast"):
-                    flows[2], dc = self._fused_heads_l2(xfeat)
-                    dc_start = 2   # dc_conv1 came out of the fused head conv
-                    break
                 flow = PredictFlow(dtype=self.dtype,
                                    precision=self.precision,
                                    name=f"predict_flow{lvl}")(xfeat)
@@ -644,8 +525,6 @@ class PWCDCNet(nn.Module):
             dc = checkpoint_name(
                 ConvLR(feats_n, padding=dil, dilation=dil, dtype=self.dtype,
                        precision=self.precision,
-                       s2d_dilated=self.use_s2d_context,
-                       pallas_dilated=self.use_pallas_context,
                        name=f"dc_conv{i}")(dc), "l2_ctx")
         flows[2] = flows[2] + PredictFlow(dtype=self.dtype,
                                           precision=self.precision,

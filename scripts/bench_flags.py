@@ -1,6 +1,6 @@
 """bench.py with model-flag overrides from argv, for perf bisection.
 
-    python scripts/bench_flags.py use_fused_heads=1 use_s2d_context=0 [batch=32]
+    python scripts/bench_flags.py use_blocked_lvl1=0 batch=64
 """
 
 import json

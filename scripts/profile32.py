@@ -3,7 +3,7 @@
 Traces the same fori-loop program bench.py times (so the XLA compile cache is
 reused), converts the xplane capture to HLO op stats, and prints the top ops
 by self time.  Run on the TPU:  python scripts/profile32.py [flags...]
-(flags forwarded to the model like bench_flags.py, e.g. use_fused_heads=1)
+(flags forwarded to the model like bench_flags.py, e.g. use_blocked_lvl1=0)
 """
 
 import glob

@@ -128,34 +128,6 @@ def test_s2d_dilated_conv_matches_plain():
 
 
 @pytest.mark.slow
-def test_model_fused_heads_and_s2d_context_match_plain():
-    """use_fused_heads + use_s2d_context must match the plain fast-mode
-    model with identical params (tree unchanged), incl. under grad."""
-    from opticalflow_tpu.models.pwcnet import PWCDCNet
-    import jax.tree_util as jtu
-    x = _rand((1, 64, 128, 6), 50) * 0.2 + 0.5
-    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
-                  use_blocked_lvl1=False, use_fused_heads=False,
-                  use_s2d_context=False, use_piece_dense=False)
-    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
-                  use_blocked_lvl1=False, use_fused_heads=True,
-                  use_s2d_context=True, use_piece_dense=False)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
-    assert jtu.tree_structure(params) == jtu.tree_structure(p1)
-    assert all(a.shape == b.shape for a, b in
-               zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                               atol=1e-5, rtol=1e-4)
-    g = jax.grad(lambda p: jnp.sum(
-        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
-    assert float(jnp.linalg.norm(g["predict_flow2"]["kernel"])) > 0
-    assert float(jnp.linalg.norm(g["dc_conv5"]["kernel"])) > 0
-
-
-@pytest.mark.slow
 def test_model_piece_dense_matches_plain():
     """Producer-piece level-2 dense block (use_piece_dense) must match the
     plain fast-mode model with identical params, incl. under grad."""
@@ -189,20 +161,6 @@ def test_model_piece_dense_matches_plain():
         np.testing.assert_allclose(np.asarray(g1[name]["kernel"]),
                                    np.asarray(g0[name]["kernel"]),
                                    atol=2e-4, rtol=1e-3)
-
-
-def test_fused_heads_old_variant_matches_plain():
-    from opticalflow_tpu.models.pwcnet import PWCDCNet
-    x = _rand((1, 64, 64, 6), 51) * 0.2 + 0.5
-    m0 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
-                  use_fused_heads=False, use_s2d_context=False)
-    m1 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
-                  use_fused_heads=True, use_s2d_context=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                               atol=1e-5, rtol=1e-4)
 
 
 def test_fused_up_deconvs_match_plain():
@@ -240,22 +198,6 @@ def test_fused_up_deconvs_old_variant():
         np.asarray(m1.apply({"params": params}, x)),
         np.asarray(m0.apply({"params": params}, x)),
         atol=1e-5, rtol=1e-4)
-
-
-def test_piece_head_first_matches_plain():
-    """[dc|pf|y] piece output order must be numerically identical to the
-    default order (same slices, different offsets)."""
-    from opticalflow_tpu.models.pwcnet import PWCDCNet
-    x = _rand((1, 64, 128, 6), 80) * 0.2 + 0.5
-    m0 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
-                  piece_head_first=False)
-    m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
-                  piece_head_first=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                               atol=1e-5, rtol=1e-4)
 
 
 @pytest.mark.slow
