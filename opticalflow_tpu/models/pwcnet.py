@@ -179,9 +179,10 @@ class PWCDCNet(nn.Module):
     # "fast": backend-default single-pass math (training / throughput).
     precision: str = "highest"
     use_pallas_corr: bool = True
-    # space-to-depth execution of the lane-starved level-1 convs (fast mode
-    # only; 2.2x on the lvl1+conv2a chain, PERF.md). Exact re-indexing —
-    # disabled automatically in "highest" mode and for the old variant.
+    # space-to-depth execution of the lane-starved level-1 + level-2
+    # pyramid convs (fast mode only; needs H, W % 8 == 0 — true for all
+    # /64-padded inputs). Exact re-indexing — disabled automatically in
+    # "highest" mode and for the old variant.
     use_blocked_lvl1: bool = True
     # fast mode, new variant: dense blocks + level-2 heads in producer-piece
     # form (see _piece_dense_l2/_piece_dense_upper) — no running concats,
@@ -221,15 +222,19 @@ class PWCDCNet(nn.Module):
         return x
 
     def _blocked_lvl1(self, im):
-        """Level-1 trio + conv2a in 2×2-block (space-to-depth) form: 64
-        output lanes at 1/4 the spatial positions; the un-blocked level-1
-        tensor never materializes (it feeds nothing but conv2a)."""
+        """Level-1 trio + the whole level-2 trio in 2×2-block
+        (space-to-depth) form: the 16-channel level-1 convs run with 64
+        output lanes at 1/4 the spatial positions and the 32-channel
+        level-2 convs with 128 lanes; the un-blocked level-1 tensor never
+        materializes and level 2 is unblocked exactly once, after conv2b."""
         from opticalflow_tpu.ops import blocked as BL
         dt = self.dtype
         k1a, b1a = _RawParams((3, 3, 3, 16), name="conv1a")()
         k1aa, b1aa = _RawParams((3, 3, 16, 16), name="conv1aa")()
         k1b, b1b = _RawParams((3, 3, 16, 16), name="conv1b")()
         k2a, b2a = _RawParams((3, 3, 16, 32), name="conv2a")()
+        k2aa, b2aa = _RawParams((3, 3, 32, 32), name="conv2aa")()
+        k2b, b2b = _RawParams((3, 3, 32, 32), name="conv2b")()
         # out_dtype == compute dtype (ConvLR fast-mode convention): XLA still
         # accumulates f32 in the MXU, and a mixed f32-out/bf16-kernel conv
         # has no transpose rule — bf16 *training* through this path fails
@@ -247,10 +252,17 @@ class PWCDCNet(nn.Module):
             BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k1b).astype(dt),
                                out_dtype=dt)
             + BL.to_blocked_bias(b1b).astype(dt)).astype(dt)
-        return leaky_relu(
-            BL.conv_blocked_consumer(y, BL.blocked_consumer_kernel(k2a)
-                                     .astype(dt), out_dtype=dt)
-            + b2a.astype(dt)).astype(dt)
+        y = leaky_relu(
+            BL.conv_blocked_s2_to_blocked(
+                y, BL.blocked_s2_to_blocked_kernel(k2a).astype(dt),
+                out_dtype=dt)
+            + BL.to_blocked_bias(b2a).astype(dt)).astype(dt)
+        for k, b in ((k2aa, b2aa), (k2b, b2b)):
+            y = leaky_relu(
+                BL.conv_blocked_s1(y, BL.blocked_s1_kernel(k).astype(dt),
+                                   out_dtype=dt)
+                + BL.to_blocked_bias(b).astype(dt)).astype(dt)
+        return BL.depth_to_space(y)
 
     def _piece_dense_l2(self, xin):
         """Level-2 dense block + heads in producer-piece form.
@@ -421,13 +433,10 @@ class PWCDCNet(nn.Module):
         feats = []
         blocked = (self.variant == "new" and self.precision == "fast"
                    and self.use_blocked_lvl1
-                   and im.shape[1] % 4 == 0 and im.shape[2] % 4 == 0)
+                   and im.shape[1] % 8 == 0 and im.shape[2] % 8 == 0)
         if blocked:
             x = self._blocked_lvl1(im)
             feats.append(None)
-            for name in ("conv2aa", "conv2b"):
-                x = ConvLR(32, dtype=self.dtype, precision=self.precision,
-                           name=name)(x)
             feats.append(x)
             start = 3
         else:

@@ -26,8 +26,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["blocked_s2_kernel", "blocked_s1_kernel",
-           "blocked_consumer_kernel", "to_blocked_bias", "depth_to_space",
+           "blocked_consumer_kernel", "blocked_s2_to_blocked_kernel",
+           "to_blocked_bias", "depth_to_space",
            "conv_blocked_s2", "conv_blocked_s1", "conv_blocked_consumer",
+           "conv_blocked_s2_to_blocked",
            "space_to_depth_d", "depth_to_space_d"]
 
 
@@ -116,6 +118,39 @@ def blocked_consumer_kernel(k3: jnp.ndarray) -> jnp.ndarray:
             bx, dj = divmod(px, 2)
             kb = kb.at[by + 1, bx + 1, di, dj].add(k3[ky, kx])
     return kb.reshape(2, 2, 4 * ci, co)
+
+
+def blocked_s2_to_blocked_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-2 HWIO kernel consuming AND producing the blocked layout:
+    (3, 3, 4·Ci, 4·Co), applied with stride 2 over the input block grid.
+
+    Output block (Y, dy) is conv output pixel q = 2Y + dy, which reads
+    input pixels p = 2q + k − 1 = 4Y + (2·dy + k − 1); in blocked input
+    coordinates p lives in block 2Y + by with intra di where
+    (by, di) = divmod(2·dy + k − 1, 2), by ∈ {−1, 0, 1} — a 3-block
+    window anchored at 2Y − 1 (pad (1, 0)), i.e. a 3×3 stride-2 conv over
+    the block grid.  Keeps the 2×2-block pipeline unbroken so the
+    stride-1 consumers (conv2aa/conv2b) also run with 4× the lanes."""
+    k3 = _np(k3)
+    ci, co = k3.shape[2], k3.shape[3]
+    kb = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), jnp.float32)
+    for dy in range(2):            # output intra-block row
+        for dx in range(2):
+            for ky in range(3):    # original kernel taps
+                for kx in range(3):
+                    by, di = divmod(2 * dy + ky - 1, 2)
+                    bx, dj = divmod(2 * dx + kx - 1, 2)
+                    kb = kb.at[by + 1, bx + 1, di, dj, :,
+                               dy, dx, :].add(k3[ky, kx])
+    return kb.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def conv_blocked_s2_to_blocked(x, kb, **kw):
+    """Apply a :func:`blocked_s2_to_blocked_kernel` to blocked input
+    (B, h, w, 4Ci) → blocked (B, h/2, w/2, 4Co): 3×3 stride-2 block-grid
+    conv, window anchored one block up/left (pad (1, 0)).  Requires h, w
+    even (original H, W divisible by 8)."""
+    return _conv(x, kb, 2, ((1, 0), (1, 0)), **kw)
 
 
 def to_blocked_bias(b: jnp.ndarray) -> jnp.ndarray:

@@ -55,6 +55,22 @@ def test_blocked_consumer_matches_plain():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_blocked_s2_to_blocked_matches_plain():
+    """conv2a form keeping the output blocked: stride-2 conv reading AND
+    producing the 2×2-block layout (needs the pixel grid % 4 == 0)."""
+    xp = _rand((2, 16, 24, 16), 14)
+    k = _rand((3, 3, 16, 32), 15) * 0.2
+    ref = conv2d(xp, k, None, stride=2, padding=1)
+    b, h, w, c = xp.shape
+    xb = xp.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(b, h // 2, w // 2, 4 * c)
+    yb = BL.conv_blocked_s2_to_blocked(xb, BL.blocked_s2_to_blocked_kernel(k))
+    out = BL.depth_to_space(yb)
+    assert out.shape == ref.shape == (2, 8, 12, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_full_level1_chain_blocked():
     """conv1a→conv1aa→conv1b→conv2a entirely in block space (the form the
     model uses: the un-blocked level-1 tensor never materializes)."""
