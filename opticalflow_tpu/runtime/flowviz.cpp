@@ -14,6 +14,8 @@
 //   ofv_flow_max_rad  : max |flow| (for cross-frame normalization)
 //   ofv_resize_flow_bilinear : half-pixel bilinear flow resize + vector
 //                              rescale (the per-frame quarter->full step)
+//   ofv_draw_segments : batch 8-connected thickness-1 segments, bit-exact
+//                       vs cv2.line incl. rect clipping (arrow overlays)
 
 #include <cmath>
 #include <cstdint>
@@ -126,6 +128,102 @@ void ofv_resize_flow_bilinear(const float* flow, int64_t h, int64_t w,
         out[(y * ow + x) * 2 + ch] =
             static_cast<float>(val) * (ch == 0 ? vsx : vsy);
       }
+    }
+  }
+}
+
+}  // extern "C"
+
+namespace {
+
+// Iterative outcode clip of a segment to [0, w-1] x [0, h-1], with the same
+// integer intersection arithmetic OpenCV's clipLine uses (truncating int64
+// division, y-sides first, endpoint-at-a-time recode).  Matching the clip
+// exactly matters: the rasterizer below accumulates Bresenham error from the
+// (clipped) start point, so a clip that lands one pixel off produces a
+// visibly different line.  Verified bit-exact vs cv2 in
+// tests/test_flowviz_native.py.
+bool ClipSegment(int64_t w, int64_t h, int64_t& x1, int64_t& y1,
+                 int64_t& x2, int64_t& y2) {
+  const int64_t right = w - 1, bottom = h - 1;
+  if (w <= 0 || h <= 0) return false;
+  auto code = [&](int64_t x, int64_t y) {
+    return (x < 0 ? 1 : 0) + (x > right ? 2 : 0) +
+           (y < 0 ? 4 : 0) + (y > bottom ? 8 : 0);
+  };
+  int c1 = code(x1, y1), c2 = code(x2, y2);
+  if ((c1 & c2) == 0 && (c1 | c2) != 0) {
+    int64_t a;
+    if (c1 & 12) {
+      a = c1 < 8 ? 0 : bottom;
+      x1 += (a - y1) * (x2 - x1) / (y2 - y1);
+      y1 = a;
+      c1 = (x1 < 0 ? 1 : 0) + (x1 > right ? 2 : 0);
+    }
+    if (c2 & 12) {
+      a = c2 < 8 ? 0 : bottom;
+      x2 += (a - y2) * (x2 - x1) / (y2 - y1);
+      y2 = a;
+      c2 = (x2 < 0 ? 1 : 0) + (x2 > right ? 2 : 0);
+    }
+    if ((c1 & c2) == 0 && (c1 | c2) != 0) {
+      if (c1) {
+        a = c1 == 1 ? 0 : right;
+        y1 += (a - x1) * (y2 - y1) / (x2 - x1);
+        x1 = a;
+        c1 = 0;
+      }
+      if (c2) {
+        a = c2 == 1 ? 0 : right;
+        y2 += (a - x2) * (y2 - y1) / (x2 - x1);
+        x2 = a;
+        c2 = 0;
+      }
+    }
+  }
+  return (c1 | c2) == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Draw n 8-connected thickness-1 segments into an (h, w, 3) u8 image,
+// in place.  segs is (n, 4) int32 [x1, y1, x2, y2]; out-of-bounds endpoints
+// are rect-clipped first.  Bit-exact vs a loop of cv2.line(..., thickness=1)
+// — i.e. vs the reference's per-arrow cv2.line calls
+// (pwc_extract_flow_video.py:94-142) — via the same left-to-right endpoint
+// normalization and half-error tie-breaking.  ~8x faster than one batched
+// cv2.polylines call (PERF.md round-3), because OpenCV re-enters its
+// generic LineIterator machinery per segment.
+void ofv_draw_segments(uint8_t* img, int64_t h, int64_t w,
+                       const int32_t* segs, int64_t n,
+                       uint8_t b, uint8_t g, uint8_t r) {
+  for (int64_t s = 0; s < n; ++s) {
+    int64_t x1 = segs[4 * s], y1 = segs[4 * s + 1];
+    int64_t x2 = segs[4 * s + 2], y2 = segs[4 * s + 3];
+    if (!ClipSegment(w, h, x1, y1, x2, y2)) continue;
+    int64_t dx = x2 - x1, dy = y2 - y1;
+    int64_t delta_x = 1, delta_y = 1;
+    if (dx < 0) {  // draw left-to-right, like cv2's LineIterator
+      dx = -dx; dy = -dy;
+      x1 = x2; y1 = y2;
+    }
+    if (dy < 0) { dy = -dy; delta_y = -1; }
+    const bool vert = dy > dx;
+    if (vert) { std::swap(dx, dy); std::swap(delta_x, delta_y); }
+    int64_t err = dx - (dy + dy);
+    const int64_t plus_delta = dx + dx;
+    const int64_t minus_delta = -(dy + dy);
+    const int64_t count = dx + 1;
+    const int64_t step_major = (vert ? w * 3 : 3) * delta_x;
+    const int64_t step_minor = (vert ? 3 : w * 3) * delta_y;
+    uint8_t* p = img + (y1 * w + x1) * 3;
+    for (int64_t i = 0; i < count; ++i) {
+      p[0] = b; p[1] = g; p[2] = r;
+      const int64_t mask = err < 0 ? -1 : 0;
+      err += minus_delta + (plus_delta & mask);
+      p += step_major + (step_minor & mask);
     }
   }
 }

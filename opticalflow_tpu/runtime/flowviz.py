@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["available", "flow_to_color_native", "flow_max_rad",
-           "resize_flow_native"]
+           "resize_flow_native", "draw_segments_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "flowviz.cpp")
@@ -68,6 +68,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ofv_resize_flow_bilinear.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        lib.ofv_draw_segments.restype = None
+        lib.ofv_draw_segments.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8]
         _lib = lib
         return _lib
 
@@ -102,6 +107,26 @@ def flow_to_color_native(flow: np.ndarray,
         _fptr(flow), h, w, float(max_rad),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out
+
+
+def draw_segments_native(img: np.ndarray, segs: np.ndarray,
+                         bgr) -> bool:
+    """Draw (N, 2, 2) or (N, 4) int32 ``[x1 y1 x2 y2]`` segments into a
+    contiguous (H, W, 3) u8 image in place, thickness 1, 8-connected,
+    bit-exact vs ``cv2.line`` (including rect clipping).  Returns False
+    (drew nothing) when the native library is unavailable — callers fall
+    back to ``cv2.polylines``."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert img.dtype == np.uint8 and img.flags.c_contiguous
+    segs = np.ascontiguousarray(segs.reshape(-1, 4), np.int32)
+    h, w = img.shape[:2]
+    lib.ofv_draw_segments(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), segs.shape[0],
+        int(bgr[0]), int(bgr[1]), int(bgr[2]))
+    return True
 
 
 def resize_flow_native(flow: np.ndarray, height: int,

@@ -71,6 +71,10 @@ def draw_arrows_batch(img: np.ndarray, p0: np.ndarray, p1: np.ndarray,
     segs = np.concatenate([np.stack([p0, p1], axis=1),
                            np.stack([pl, p1], axis=1),
                            np.stack([pr, p1], axis=1)]).astype(np.int32)
+    if thickness == 1 and img.flags.c_contiguous:
+        from opticalflow_tpu.runtime.flowviz import draw_segments_native
+        if draw_segments_native(img, segs, bgr):
+            return
     cv2.polylines(img, segs, False, bgr, thickness)
 
 
