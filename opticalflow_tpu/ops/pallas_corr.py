@@ -224,7 +224,7 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, md: int,
         f2p = jnp.pad(f2t, ((0, 0), (md, md), (0, cs - c), (md, wl - w - md)))
         th = _row_tile_windowed(h, w, c, nd2, md, f1.dtype.itemsize)
         kernel = functools.partial(_fwd_kernel_windowed, md, th, w, c)
-        f2_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        f2_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((th + 2 * md, cs, wl), f1.dtype),
                    pltpu.SemaphoreType.DMA(())]
 
