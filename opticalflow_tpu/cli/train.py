@@ -63,6 +63,15 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backprop (less HBM, "
                         "~30%% more step FLOPs)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host runtime (TPU pods "
+                        "auto-detect; elsewhere give the --dist-* flags). "
+                        "--batch is the GLOBAL batch; each host loads and "
+                        "feeds its 1/num_processes share")
+    p.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                   help="process-0 coordinator address (non-TPU backends)")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--save-every", type=int, default=1, metavar="EPOCHS")
     p.add_argument("--log-every", type=int, default=10, metavar="STEPS")
@@ -82,10 +91,16 @@ def _make_dataset(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
+    from opticalflow_tpu.parallel import mesh as meshlib
+    if args.distributed or args.dist_coordinator:
+        pid, pcount = meshlib.distributed_init(
+            args.dist_coordinator, args.dist_num_processes,
+            args.dist_process_id)
+        print(f"distributed: process {pid}/{pcount}, "
+              f"{jax.local_device_count()} local devices")
     import jax.numpy as jnp
     import numpy as np
     from opticalflow_tpu.models.pwcnet import PWCDCNet
-    from opticalflow_tpu.parallel import mesh as meshlib
     from opticalflow_tpu.train.trainer import (TrainConfig, TrainState,
                                                PlateauController,
                                                create_train_state,
@@ -122,6 +137,13 @@ def main(argv=None) -> int:
 
     ds = _make_dataset(args)
     val_loader = None
+    pid, pcount = jax.process_index(), jax.process_count()
+    is_main = pid == 0
+    if pcount > 1 and args.val_frac > 0:
+        raise SystemExit(
+            "--val-frac with --distributed is not supported (validation "
+            "would need collective batch scheduling); run a separate "
+            "single-host eval job over the saved checkpoints")
     if args.val_frac > 0:
         from opticalflow_tpu.data.loader import train_val_split
         ds, val_ds = train_val_split(ds, args.val_frac, seed=args.seed)
@@ -131,11 +153,23 @@ def main(argv=None) -> int:
             vb = min(args.batch, len(val_ds))
             val_loader = Loader(val_ds, vb, shuffle=False, drop_last=False,
                                 num_workers=args.workers, seed=args.seed)
+    # multi-host: --batch is global; every process loads a disjoint
+    # stride-slice of the dataset, truncated to a common length so all
+    # processes run the same number of (collective) steps per epoch
+    local_batch = args.batch
+    if pcount > 1:
+        if args.batch % pcount:
+            raise SystemExit(f"--batch {args.batch} not divisible by "
+                             f"{pcount} processes")
+        local_batch = args.batch // pcount
+        from opticalflow_tpu.data.loader import process_shard
+        ds = process_shard(ds, pid, pcount)
+
     # device-put prefetch overlaps H2D with compute; the epipolar regime
     # augments batches on host first, so it stays on numpy
     prefetch_dev = args.regime != "epipolar"
-    loader = Loader(ds, args.batch, num_workers=args.workers, seed=args.seed,
-                    device_put=prefetch_dev,
+    loader = Loader(ds, local_batch, num_workers=args.workers,
+                    seed=args.seed, device_put=prefetch_dev,
                     sharding=meshlib.batch_sharding(mesh))
 
     start_epoch = 0
@@ -164,7 +198,7 @@ def main(argv=None) -> int:
     eval_fn = make_eval_metrics_step(model, cfg, mesh=mesh) if val_loader \
         else None
     plateau = PlateauController(cfg)
-    state = jax.device_put(state, meshlib.replicated(mesh))
+    state = meshlib.replicate(state, mesh)
     log_path = os.path.join(args.out_dir, "metrics.jsonl")
     epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
 
@@ -182,7 +216,7 @@ def main(argv=None) -> int:
             nsteps += 1
             loss = float(metrics["loss"])
             epoch_loss += loss
-            if nsteps % args.log_every == 0:
+            if nsteps % args.log_every == 0 and is_main:
                 rec = {"epoch": epoch, "step": int(state.step),
                        **{k: float(v) for k, v in metrics.items()}}
                 with open(log_path, "a") as f:
@@ -193,8 +227,9 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         mean_loss = epoch_loss / max(nsteps, 1)
         ips = nsteps * args.batch / max(dt, 1e-9)
-        print(f"epoch {epoch}: loss={mean_loss:.4f} "
-              f"({ips:.1f} samples/s, {dt:.1f}s)")
+        if is_main:
+            print(f"epoch {epoch}: loss={mean_loss:.4f} "
+                  f"({ips:.1f} samples/s, {dt:.1f}s)")
         history.append((epoch, mean_loss))
 
         if val_loader is not None:
@@ -224,13 +259,17 @@ def main(argv=None) -> int:
                               "regime": args.regime})
                 print(f"best model saved ({key_metric:.4f}) -> {path}")
 
-        if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
+        if ((epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1) \
+                and is_main:
+            # params/opt state are fully replicated, so rank 0's host copy
+            # is the global state — a host-side save needs no collective
             path = ckpt.save_train_state(
                 args.out_dir, int(state.step), state.params, state.opt_state,
                 metadata={"epoch": epoch, "regime": args.regime,
                           "loader": json.dumps(loader.state())})
             print(f"saved {path}")
-    _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
+    if is_main:
+        _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
     return 0
 
 

@@ -21,7 +21,7 @@ from typing import Dict, Iterator
 
 import numpy as np
 
-__all__ = ["Loader", "Subset", "train_val_split"]
+__all__ = ["Loader", "Subset", "train_val_split", "process_shard"]
 
 
 class Subset:
@@ -52,6 +52,15 @@ def train_val_split(dataset, val_frac: float, seed: int = 0):
     if n_val == 0 or n_val >= n:
         return Subset(dataset, idx), None
     return Subset(dataset, idx[n_val:]), Subset(dataset, idx[:n_val])
+
+
+def process_shard(dataset, process_id: int, process_count: int) -> Subset:
+    """Disjoint per-process stride-slice for multi-host training, truncated
+    to a common length so every process runs the same number of
+    (collective) steps per epoch regardless of ``len % process_count``."""
+    n = len(dataset)
+    idx = list(range(process_id, n, process_count))[: n // process_count]
+    return Subset(dataset, idx)
 
 
 def _collate(samples):
@@ -138,9 +147,18 @@ class Loader:
                     batch = _collate(samples)
                     if self.device_put:
                         import jax
+                        if self.sharding is not None and \
+                                jax.process_count() > 1:
+                            # multi-host: this process's batch is the local
+                            # slice of the global batch (device_put cannot
+                            # reach non-addressable devices)
+                            put = lambda v: \
+                                jax.make_array_from_process_local_data(
+                                    self.sharding, v)
+                        else:
+                            put = lambda v: jax.device_put(v, self.sharding)
                         batch = {
-                            k: (jax.device_put(v, self.sharding)
-                                if isinstance(v, np.ndarray) else v)
+                            k: (put(v) if isinstance(v, np.ndarray) else v)
                             for k, v in batch.items()}
                     q.put(batch)
             q.put(None)

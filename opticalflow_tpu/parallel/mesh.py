@@ -22,7 +22,61 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "local_batch_size"]
+           "replicate", "distributed_init", "barrier", "local_batch_size"]
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None, **kwargs) -> tuple:
+    """Initialize the multi-host runtime (one JAX process per host).
+
+    On TPU pods every argument auto-detects from the pod metadata; on
+    CPU/GPU pass ``coordinator`` ("host:port" of process 0),
+    ``num_processes`` and this host's ``process_id``.  Must run before the
+    backend initializes (i.e. before any device is touched).  After this,
+    ``jax.devices()`` is the GLOBAL device list, ``make_mesh()`` spans all
+    hosts, and the data-parallel ``psum`` rides ICI within a slice and DCN
+    across slices — the multi-slice story SURVEY.md §5 calls for (the
+    reference has no distributed layer at all).
+
+    Extra ``**kwargs`` pass through to ``jax.distributed.initialize``
+    (e.g. ``shutdown_timeout_seconds`` when rank exit times can skew).
+    Returns ``(process_index, process_count)``.
+    """
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def barrier(name: str = "oftpu_barrier", timeout_s: int = 1800) -> None:
+    """Block until every process reaches this point.
+
+    Rides the coordination service (gRPC to process 0), NOT a device
+    collective — so it works before any program has compiled.  Useful to
+    de-skew ranks whose first-collective rendezvous has a short timeout
+    (XLA's Gloo CPU context init allows 30 s; a compile finishing minutes
+    apart across hosts would blow it).  No-op in single-process mode.
+    """
+    from jax._src import distributed as _distributed  # no public barrier API
+    client = _distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_s * 1000)
+
+
+def _from_process_local(tree, sharding):
+    """Assemble global arrays from per-process host data.
+
+    ``jax.device_put`` only reaches addressable devices; under a multi-host
+    mesh each process contributes its local slice (or its replica, for a
+    fully-replicated sharding) and XLA stitches the global array."""
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)), tree)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -43,9 +97,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put every array in a pytree with its batch dim sharded."""
+    """Place a host batch on the mesh with its leading dim sharded.
+
+    Single-process: a plain ``device_put``.  Multi-process (after
+    :func:`distributed_init`): ``batch`` is this process's LOCAL portion —
+    ``global_batch = local_batch * process_count`` — assembled into global
+    arrays without any cross-host host-side traffic."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return _from_process_local(batch, sh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a host pytree fully replicated on the mesh (params, opt state);
+    process-aware like :func:`shard_batch` (every process passes the same
+    values)."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return _from_process_local(tree, sh)
+    return jax.device_put(tree, sh)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh,
