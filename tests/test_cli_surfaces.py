@@ -181,3 +181,16 @@ def test_capture_frame_cli(clip, tmp_path):
     rc = main([clip, "3", out])
     assert rc == 0
     assert os.path.isfile(out)
+
+
+@pytest.mark.slow
+def test_parity_cli(ckpt, tmp_path, capsys):
+    from opticalflow_tpu.cli.parity import main
+
+    artifact = str(tmp_path / "model.stablehlo")
+    report = str(tmp_path / "report.png")
+    rc = main(["--ckpt", ckpt, "--artifact", artifact,
+               "--shape", "1", "64", "64", "--report-image", report])
+    assert rc == 0
+    assert "PARITY: PASS" in capsys.readouterr().out
+    assert os.path.isfile(artifact) and os.path.isfile(report)
