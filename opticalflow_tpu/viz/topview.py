@@ -78,6 +78,8 @@ def draw_direction_arrows(frame_bgr: np.ndarray, flow: np.ndarray, *,
     mag = np.hypot(fx, fy)
     keep = mag >= min_mag
     x, y, fx, fy, mag = x[keep], y[keep], fx[keep], fy[keep], mag[keep]
+    if len(x) == 0:  # every arrow below min_mag — nothing to draw
+        return out
     p0 = np.stack([x, y], axis=1)
     # int() truncation toward zero, as the per-point loop did
     p1 = np.stack([np.trunc(x + fx * scale), np.trunc(y + fy * scale)], axis=1)

@@ -92,13 +92,15 @@ def test_extract_flow_cli(ckpt, image_pair, tmp_path):
 
 
 @pytest.mark.slow
-def test_extract_video_cli(ckpt, clip, tmp_path):
+@pytest.mark.parametrize("mode", ["arrows", "color", "compare", "vanish",
+                                  "topview"])
+def test_extract_video_cli(ckpt, clip, tmp_path, mode):
     import cv2
 
     from opticalflow_tpu.cli.extract_video import main
 
-    out = str(tmp_path / "overlay.mp4")
-    rc = main([clip, out, "--ckpt", ckpt, "--mode", "arrows", "--batch", "2"])
+    out = str(tmp_path / f"overlay_{mode}.mp4")
+    rc = main([clip, out, "--ckpt", ckpt, "--mode", mode, "--batch", "2"])
     assert rc == 0
     cap = cv2.VideoCapture(out)
     n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
