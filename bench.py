@@ -25,6 +25,13 @@ REPEATS = 3
 
 
 def main() -> None:
+    # ~/.cache is wiped on machine resets; the repo carries a seed of the
+    # warm compilation cache so this bench never hits the ~8-10 min cold
+    # remote-AOT compile under the driver's time budget (see
+    # opticalflow_tpu/utils/cache_seed.py and the round-2 postmortem).
+    from opticalflow_tpu.utils.cache_seed import restore_cache_seed
+    restore_cache_seed(verbose=False)
+
     import jax
     import jax.numpy as jnp
     from opticalflow_tpu.models.pwcnet import PWCDCNet, FLOW_SCALE
