@@ -41,7 +41,11 @@ def main() -> None:
 
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast")
     key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    # jit the init: run eagerly it is thousands of relay round-trips
+    # (~30 ms each ≈ 4-5 min of pure dispatch latency); as one compiled
+    # program it is seconds, and the executable rides the persistent cache.
+    params = jax.jit(model.init)(
+        key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
     x0 = jax.random.uniform(key, (batch, H, W, 6), jnp.float32)
 
     @jax.jit

@@ -57,6 +57,21 @@ FLOW_SCALE = 20.0
 # up_flowℓ₊₁ → pixel units at level ℓ: 20 / 2^ℓ for ℓ = 5, 4, 3, 2.
 _WARP_SCALES = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
 
+# use_blocked_lvl1="auto" crossover: blocked space-to-depth level-1/2 wins
+# below this pair-batch, the plain layout at or above it (448×1024 sweep,
+# PERF.md round-3 log).
+_BLOCKED_AUTO_MAX_BATCH = 32
+
+
+def resolve_blocked_lvl1(flag, pair_batch: int) -> bool:
+    """Resolve ``use_blocked_lvl1`` ("auto" | bool) for a given pair-batch.
+
+    Static per-shape decision: each batch size is a separate XLA program,
+    so "auto" costs nothing at runtime."""
+    if flag == "auto":
+        return pair_batch < _BLOCKED_AUTO_MAX_BATCH
+    return bool(flag)
+
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
@@ -182,8 +197,12 @@ class PWCDCNet(nn.Module):
     # space-to-depth execution of the lane-starved level-1 + level-2
     # pyramid convs (fast mode only; needs H, W % 8 == 0 — true for all
     # /64-padded inputs). Exact re-indexing — disabled automatically in
-    # "highest" mode and for the old variant.
-    use_blocked_lvl1: bool = True
+    # "highest" mode and for the old variant.  "auto" (default) picks by
+    # batch size at trace time: blocked wins at small batch where the
+    # lane-starved 16/32-channel convs dominate (+16% at B=8), loses at
+    # large batch where its block/unblock boundary copies cost more than
+    # the lane win (-2% at B=64) — measured sweep in PERF.md round-3 log.
+    use_blocked_lvl1: Any = "auto"
     # fast mode, new variant: dense blocks + level-2 heads in producer-piece
     # form (see _piece_dense_l2/_piece_dense_upper) — no running concats,
     # every conv ≥34 output lanes. Default ON: measured 291.5 vs 246.9
@@ -431,8 +450,10 @@ class PWCDCNet(nn.Module):
         """Siamese feature pyramid; returns features at levels 1..6
         (level-1 entry is None on the blocked fast path — nothing reads it)."""
         feats = []
+        # im carries both siamese images (2B); gate on the pair batch.
+        want = resolve_blocked_lvl1(self.use_blocked_lvl1, im.shape[0] // 2)
         blocked = (self.variant == "new" and self.precision == "fast"
-                   and self.use_blocked_lvl1
+                   and want
                    and im.shape[1] % 8 == 0 and im.shape[2] % 8 == 0)
         if blocked:
             x = self._blocked_lvl1(im)
@@ -569,4 +590,6 @@ def _init_or_load(model: PWCDCNet, path: str | None):
         return torch_import.import_checkpoint(path, variant=model.variant)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 64, 6), jnp.float32)
-    return model.init(rng, dummy)["params"]
+    # jitted: eager flax init is thousands of tiny dispatches — minutes of
+    # pure round-trip latency on relay-attached TPUs.
+    return jax.jit(model.init)(rng, dummy)["params"]

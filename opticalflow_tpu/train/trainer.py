@@ -141,8 +141,9 @@ def create_train_state(model, rng, cfg: TrainConfig,
                        sample_shape=(1, 64, 64, 6),
                        params=None) -> Tuple[TrainState, optax.GradientTransformation]:
     if params is None:
-        params = model.init(rng, jnp.zeros(sample_shape, jnp.float32),
-                            train=True)["params"]
+        # jitted: eager flax init dispatches per-op (minutes over a relay)
+        params = jax.jit(lambda r, x: model.init(r, x, train=True))(
+            rng, jnp.zeros(sample_shape, jnp.float32))["params"]
     tx = make_optimizer(cfg)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))

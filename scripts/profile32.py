@@ -29,7 +29,7 @@ def main():
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast",
                      **flags)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    params = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
     x0 = jax.random.uniform(key, (BATCH, H, W, 6), jnp.float32)
 
     @jax.jit

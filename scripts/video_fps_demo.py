@@ -109,7 +109,7 @@ def device_only_pairs_per_sec(h64, w64):
     from opticalflow_tpu.models.pwcnet import PWCDCNet
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast")
     key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    params = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
     x0 = jax.random.uniform(key, (BATCH, h64, w64, 6), jnp.float32)
     LOOP = 20
 

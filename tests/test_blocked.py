@@ -243,3 +243,29 @@ def test_highest_precision_keeps_plain_path():
     params = m.init(jax.random.PRNGKey(0), x)["params"]
     out = m.apply({"params": params}, x)
     assert out.shape == (1, 16, 16, 2)
+
+
+def test_resolve_blocked_lvl1_auto():
+    from opticalflow_tpu.models.pwcnet import (_BLOCKED_AUTO_MAX_BATCH,
+                                               resolve_blocked_lvl1)
+    assert resolve_blocked_lvl1("auto", 1) is True
+    assert resolve_blocked_lvl1("auto", _BLOCKED_AUTO_MAX_BATCH - 1) is True
+    assert resolve_blocked_lvl1("auto", _BLOCKED_AUTO_MAX_BATCH) is False
+    assert resolve_blocked_lvl1("auto", 64) is False
+    assert resolve_blocked_lvl1(True, 64) is True
+    assert resolve_blocked_lvl1(False, 1) is False
+
+
+def test_model_auto_matches_explicit_small_batch():
+    """"auto" at a small batch must produce the blocked graph's numbers
+    (which test_model_blocked_lvl1_matches_unblocked ties to the plain
+    path); shapes/param tree are unchanged either way."""
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    x = _rand((2, 64, 64, 6), 21) * 0.2 + 0.5
+    auto = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    expl = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                    use_blocked_lvl1=True)
+    params = auto.init(jax.random.PRNGKey(0), x)["params"]
+    oa = auto.apply({"params": params}, x)
+    oe = expl.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(oe))
