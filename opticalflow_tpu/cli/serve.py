@@ -1,0 +1,70 @@
+"""Serving CLI: HTTP optical-flow endpoint with dynamic batching.
+
+    python -m opticalflow_tpu.cli.serve --ckpt pwc_net.pth.tar --port 8080
+
+Then:  POST /v1/flow  {"im1": <base64 image>, "im2": <base64 image>}
+→ Middlebury .flo bytes.   GET /healthz, GET /metrics for probes.
+
+No reference counterpart (the reference has no serving layer); the TPU
+rationale and the batching design live in ``opticalflow_tpu/serve.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PWC-Net flow serving (TPU)")
+    p.add_argument("--ckpt", default="./pwc_net.pth.tar")
+    p.add_argument("--variant", choices=("new", "old"), default="new")
+    p.add_argument("--preset", default="bgr_unit")
+    p.add_argument("--flow-scale", type=float, default=20.0)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="bfloat16",
+                   help="bfloat16 fast path by default for serving")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--warmup", metavar="HxW", default=None,
+                   help="pre-compile for this frame size, e.g. 436x1024")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.serve import FlowServer, make_http_server
+    from opticalflow_tpu.train.checkpoints import load_params
+
+    model = PWCDCNet(
+        variant=args.variant,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        precision="fast" if args.dtype == "bfloat16" else "highest")
+    params = load_params(args.ckpt, variant=args.variant)
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    server = FlowServer(engine, max_batch=args.max_batch,
+                        max_delay_ms=args.max_delay_ms, preset=args.preset)
+    if args.warmup:
+        h, w = (int(v) for v in args.warmup.split("x"))
+        h64, w64 = -(-h // 64) * 64, -(-w // 64) * 64
+        engine.warmup(h64, w64, batch=args.max_batch)
+        print(f"warmed up {args.max_batch}x{h64}x{w64}")
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(max_batch={args.max_batch}, delay={args.max_delay_ms}ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,22 +13,25 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_flo", "write_flo", "TAG_FLOAT"]
+__all__ = ["read_flo", "write_flo", "write_flo_bytes", "TAG_FLOAT"]
 
 TAG_FLOAT = 202021.25
 
 
-def write_flo(path: str, flow_uv: np.ndarray) -> None:
-    """Write (H, W, 2) float32 flow to a Middlebury .flo file."""
+def write_flo_bytes(flow_uv: np.ndarray) -> bytes:
+    """Serialize (H, W, 2) float32 flow to Middlebury .flo bytes."""
     flow_uv = np.asarray(flow_uv)
     if flow_uv.ndim != 3 or flow_uv.shape[2] != 2:
         raise ValueError(f"flow must be (H, W, 2), got {flow_uv.shape}")
     h, w, _ = flow_uv.shape
+    return (struct.pack("<f", TAG_FLOAT) + struct.pack("<i", w)
+            + struct.pack("<i", h) + flow_uv.astype("<f4").tobytes())
+
+
+def write_flo(path: str, flow_uv: np.ndarray) -> None:
+    """Write (H, W, 2) float32 flow to a Middlebury .flo file."""
     with open(path, "wb") as f:
-        f.write(struct.pack("<f", TAG_FLOAT))
-        f.write(struct.pack("<i", w))
-        f.write(struct.pack("<i", h))
-        f.write(flow_uv.astype("<f4").tobytes())
+        f.write(write_flo_bytes(flow_uv))
 
 
 def read_flo(path: str) -> np.ndarray:

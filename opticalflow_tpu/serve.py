@@ -1,0 +1,243 @@
+"""Batched optical-flow serving with dynamic request batching.
+
+The reference stack has no serving layer at all (SURVEY.md §1: "no
+scheduler, no serving layer"); serving a TPU well is however mostly one
+idea: throughput comes from batch occupancy, so concurrent requests must
+ride one device program.  This module provides that as a small,
+dependency-free component:
+
+  * :class:`FlowServer` — owns a :class:`~opticalflow_tpu.engine.FlowEngine`
+    and a single dispatch thread.  Incoming pairs queue up; the dispatcher
+    drains up to ``max_batch`` requests (waiting at most ``max_delay_ms``
+    after the first), groups them by frame shape, pads each group to the
+    fixed compiled batch size (one XLA program per shape, ever), and
+    fans results back out to the waiting callers.
+  * :func:`make_http_server` — a stdlib ``ThreadingHTTPServer`` front:
+    ``POST /v1/flow`` with a JSON body ``{"im1": <b64 PNG/JPG>, "im2":
+    <b64>, "size_mode": "resize"}`` returns the flow as a Middlebury
+    ``.flo`` body; ``GET /healthz`` and ``GET /metrics`` for probes.
+
+Run:  ``python -m opticalflow_tpu.cli.serve --ckpt pwc_net.pth.tar``.
+"""
+
+from __future__ import annotations
+
+import base64
+import collections
+import io
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["FlowServer", "ServerMetrics", "make_http_server"]
+
+
+@dataclass
+class _Pending:
+    im1: np.ndarray
+    im2: np.ndarray
+    size_mode: str
+    done: threading.Event = field(default_factory=threading.Event)
+    flow: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class ServerMetrics:
+    """Rolling serving metrics (thread-safe snapshots via :meth:`snapshot`)."""
+    requests: int = 0
+    batches: int = 0
+    occupancy_sum: int = 0
+    errors: int = 0
+    latencies: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=1024))
+
+    def snapshot(self) -> dict:
+        lats = sorted(self.latencies)
+        pct = (lambda q: lats[min(len(lats) - 1, int(q * len(lats)))]
+               if lats else 0.0)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "errors": self.errors,
+            "mean_batch_occupancy": (self.occupancy_sum / self.batches
+                                     if self.batches else 0.0),
+            "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
+                          "p99": pct(0.99)},
+        }
+
+
+class FlowServer:
+    """Dynamic-batching dispatcher over a FlowEngine.
+
+    Args:
+      engine: a ready :class:`~opticalflow_tpu.engine.FlowEngine`.
+      max_batch: compiled batch size per shape bucket.  Requests are padded
+        up to this, so exactly one XLA program exists per frame shape.
+      max_delay_ms: how long the dispatcher waits after the first queued
+        request for the batch to fill before launching anyway.
+      preset: preprocessing preset forwarded to the engine.
+    """
+
+    def __init__(self, engine, *, max_batch: int = 8,
+                 max_delay_ms: float = 5.0, preset: str = "bgr_unit"):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1e3
+        self.preset = preset
+        self.metrics = ServerMetrics()
+        self._queue: collections.deque[_Pending] = collections.deque()
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name="flow-dispatch", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def flow(self, im1: np.ndarray, im2: np.ndarray,
+             size_mode: str = "resize",
+             timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking request: uint8 RGB pair → (H, W, 2) float32 flow.
+
+        Thread-safe; concurrent callers share device batches."""
+        if im1.shape != im2.shape:
+            raise ValueError(f"frame shapes differ: {im1.shape} vs {im2.shape}")
+        p = _Pending(im1, im2, size_mode)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("server is shut down")
+            self._queue.append(p)
+            self._cv.notify_all()
+        if not p.done.wait(timeout):
+            raise TimeoutError("flow request timed out")
+        if p.error is not None:
+            raise p.error
+        with self._cv:
+            self.metrics.requests += 1
+            self.metrics.latencies.append(
+                time.perf_counter() - p.t_enqueue)
+        return p.flow
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    # --------------------------------------------------------- dispatcher
+
+    def _take_batch(self) -> List[_Pending]:
+        """Wait for work, then drain one shape-consistent batch."""
+        with self._cv:
+            while not self._queue and not self._stop:
+                self._cv.wait()
+            if self._stop and not self._queue:
+                return []
+            deadline = time.perf_counter() + self.max_delay
+            while (len(self._queue) < self.max_batch and not self._stop):
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                self._cv.wait(timeout=left)
+            # one (shape, size_mode) bucket per launch, FIFO within it
+            key = (self._queue[0].im1.shape, self._queue[0].size_mode)
+            batch, keep = [], collections.deque()
+            while self._queue and len(batch) < self.max_batch:
+                p = self._queue.popleft()
+                if (p.im1.shape, p.size_mode) == key:
+                    batch.append(p)
+                else:
+                    keep.append(p)
+            self._queue.extendleft(reversed(keep))
+            return batch
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            try:
+                im1s = [p.im1 for p in batch]
+                im2s = [p.im2 for p in batch]
+                # pad to the compiled batch size: one XLA program per shape
+                pad = self.max_batch - len(batch)
+                im1s += [im1s[-1]] * pad
+                im2s += [im2s[-1]] * pad
+                flows = self.engine.flow_from_pairs(
+                    im1s, im2s, preset=self.preset,
+                    size_mode=batch[0].size_mode)
+                for p, f in zip(batch, flows):
+                    p.flow = np.asarray(f)
+                    p.done.set()
+                with self._cv:
+                    self.metrics.batches += 1
+                    self.metrics.occupancy_sum += len(batch)
+            except Exception as e:  # propagate to all waiters, keep serving
+                for p in batch:
+                    p.error = e
+                    p.done.set()
+                with self._cv:
+                    self.metrics.errors += len(batch)
+
+
+# ------------------------------------------------------------------ HTTP
+
+def make_http_server(server: FlowServer, host: str = "127.0.0.1",
+                     port: int = 8080) -> ThreadingHTTPServer:
+    """Wrap a FlowServer in a stdlib threading HTTP server (call
+    ``serve_forever()`` on the result; one OS thread per connection, all
+    funneling into the shared dispatch batcher)."""
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/json") -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b'{"ok": true}')
+            elif self.path == "/metrics":
+                self._send(200, json.dumps(
+                    server.metrics.snapshot()).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if self.path != "/v1/flow":
+                self._send(404, b'{"error": "not found"}')
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                ims = []
+                for k in ("im1", "im2"):
+                    buf = np.frombuffer(base64.b64decode(req[k]), np.uint8)
+                    im = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+                    if im is None:
+                        raise ValueError(f"could not decode {k}")
+                    ims.append(im[:, :, ::-1])  # BGR -> RGB (engine input)
+                flow = server.flow(ims[0], ims[1],
+                                   size_mode=req.get("size_mode", "resize"),
+                                   timeout=float(req.get("timeout", 60.0)))
+                from opticalflow_tpu.io.flo import write_flo_bytes
+                self._send(200, write_flo_bytes(flow),
+                           ctype="application/octet-stream")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)

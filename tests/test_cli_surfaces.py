@@ -196,3 +196,13 @@ def test_parity_cli(ckpt, tmp_path, capsys):
     assert rc == 0
     assert "PARITY: PASS" in capsys.readouterr().out
     assert os.path.isfile(artifact) and os.path.isfile(report)
+
+
+def test_serve_cli_parser():
+    # the serving pipeline itself (dispatcher + HTTP) is covered end-to-end
+    # in tests/test_serve.py; here: the CLI contract parses
+    from opticalflow_tpu.cli.serve import build_parser
+    a = build_parser().parse_args(["--ckpt", "x.pth.tar", "--port", "0",
+                                   "--max-batch", "4", "--warmup", "436x1024"])
+    assert (a.max_batch, a.port, a.warmup) == (4, 0, "436x1024")
+    assert a.dtype == "bfloat16"  # serving defaults to the fast path

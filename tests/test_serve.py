@@ -1,0 +1,163 @@
+"""Serving layer: dynamic batching semantics + HTTP round trip."""
+
+import base64
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+class _FakeEngine:
+    """Counts launches; 'flow' = mean of the pair, broadcast to (H, W, 2)."""
+
+    def __init__(self):
+        self.calls = []  # batch sizes as launched (padded)
+
+    def flow_from_pairs(self, im1s, im2s, *, preset, size_mode):
+        self.calls.append(len(im1s))
+        out = []
+        for a, b in zip(im1s, im2s):
+            h, w = a.shape[:2]
+            val = (a.astype(np.float32).mean()
+                   + b.astype(np.float32).mean())
+            out.append(np.full((h, w, 2), val, np.float32))
+        time.sleep(0.01)  # make batching windows observable
+        return np.stack(out)
+
+
+def _img(seed, h=8, w=12):
+    return np.random.RandomState(seed).randint(
+        0, 255, (h, w, 3), np.uint8)
+
+
+def test_concurrent_requests_share_a_batch():
+    from opticalflow_tpu.serve import FlowServer
+    eng = _FakeEngine()
+    srv = FlowServer(eng, max_batch=4, max_delay_ms=200)
+    try:
+        results = {}
+
+        def call(i):
+            results[i] = srv.flow(_img(i), _img(100 + i), timeout=10)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        for i in range(4):
+            exp = (_img(i).astype(np.float32).mean()
+                   + _img(100 + i).astype(np.float32).mean())
+            np.testing.assert_allclose(results[i][0, 0, 0], exp, rtol=1e-6)
+        # all four rode few launches; every launch padded to max_batch
+        assert sum(eng.calls) <= 4 * 4 and all(c == 4 for c in eng.calls)
+        snap = srv.metrics.snapshot()
+        assert snap["requests"] == 4
+        assert snap["mean_batch_occupancy"] >= 1.0
+    finally:
+        srv.close()
+
+
+def test_mixed_shapes_bucketed_not_mixed():
+    from opticalflow_tpu.serve import FlowServer
+    eng = _FakeEngine()
+    srv = FlowServer(eng, max_batch=4, max_delay_ms=30)
+    try:
+        outs = {}
+
+        def call(i, h):
+            outs[i] = srv.flow(_img(i, h=h), _img(50 + i, h=h), timeout=10)
+
+        threads = [threading.Thread(target=call, args=(i, 8 + 8 * (i % 2)))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        shapes = {outs[i].shape for i in range(6)}
+        assert shapes == {(8, 12, 2), (16, 12, 2)}
+    finally:
+        srv.close()
+
+
+def test_error_propagates_and_server_survives():
+    from opticalflow_tpu.serve import FlowServer
+
+    class _Boom(_FakeEngine):
+        def flow_from_pairs(self, im1s, im2s, **kw):
+            if len(self.calls) == 0:
+                self.calls.append(0)
+                raise RuntimeError("boom")
+            return super().flow_from_pairs(im1s, im2s, **kw)
+
+    eng = _Boom()
+    srv = FlowServer(eng, max_batch=2, max_delay_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            srv.flow(_img(0), _img(1), timeout=10)
+        out = srv.flow(_img(2), _img(3), timeout=10)  # still serving
+        assert out.shape == (8, 12, 2)
+        assert srv.metrics.snapshot()["errors"] == 1
+    finally:
+        srv.close()
+
+
+def test_http_round_trip_with_real_engine(tmp_path):
+    """End-to-end: HTTP POST (b64 PNGs) → dispatcher → real tiny model →
+    .flo bytes; /healthz and /metrics served alongside."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.io.flo import TAG_FLOAT
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.serve import FlowServer, make_http_server
+    import struct
+
+    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    import jax
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    engine = FlowEngine(model, params, flow_scale=20.0)
+    srv = FlowServer(engine, max_batch=2, max_delay_ms=5)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        im = _img(0, h=48, w=60)
+        ok, png = cv2.imencode(".png", im[:, :, ::-1])
+        assert ok
+        b64 = base64.b64encode(png.tobytes()).decode()
+        # generous request timeout: the first CPU compile of the model can
+        # exceed the server's 60 s default
+        body = json.dumps({"im1": b64, "im2": b64,
+                           "timeout": 600}).encode()
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/v1/flow", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200, data
+        tag, w, h = struct.unpack("<fii", data[:12])
+        assert abs(tag - TAG_FLOAT) < 1e-3 and (h, w) == (48, 60)
+        flow = np.frombuffer(data[12:], "<f4").reshape(h, w, 2)
+        assert np.isfinite(flow).all()
+
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b'{"ok": true}'
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert m["requests"] == 1 and m["errors"] == 0
+
+        # identical pair through the engine directly must match the HTTP path
+        direct = engine.flow_from_pair(im, im)
+        np.testing.assert_allclose(flow, direct, atol=1e-5)
+    finally:
+        httpd.shutdown()
+        srv.close()
