@@ -20,9 +20,10 @@ import os as _os
 def _setup_compilation_cache() -> None:
     """Persistent XLA compilation cache (first PWC compile is ~1 min on TPU;
     cached reloads are seconds).  Opt out with OPTICALFLOW_TPU_CACHE=0."""
-    path = _os.environ.get(
-        "OPTICALFLOW_TPU_CACHE",
-        _os.path.expanduser("~/.cache/opticalflow_tpu_xla"))
+    # single source of truth for the path: utils.cache_seed.cache_dir()
+    # (the repo-seeding machinery must restore into the same directory)
+    from opticalflow_tpu.utils.cache_seed import cache_dir
+    path = cache_dir()
     if path in ("", "0"):
         return
     try:

@@ -60,9 +60,13 @@ def build_parser():
     p.add_argument("--variant", choices=("new", "old"), default="new")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (f32 flow heads/optimizer)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the forward in backprop (less HBM, "
-                        "~30%% more step FLOPs)")
+    p.add_argument("--remat", nargs="?", const="full", default="off",
+                   choices=("off", "full", "l2"),
+                   help="rematerialization policy: 'l2' recomputes only the "
+                        "L2-resolution groups (largest activations, small "
+                        "FLOP cost — PERF.md round-3), 'full' the whole "
+                        "forward (~30%% more step FLOPs). Bare --remat = "
+                        "full")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host runtime (TPU pods "
                         "auto-detect; elsewhere give the --dist-* flags). "
@@ -120,7 +124,8 @@ def main(argv=None) -> int:
         plateau_patience=args.plateau_patience,
         lambda_photo=args.lambda_photo, lambda_smooth=args.lambda_smooth,
         epi_soft_weight=args.epi_soft_w if args.regime == "epipolar" else 0.0,
-        flow_scale=args.flow_scale, remat=args.remat)
+        flow_scale=args.flow_scale,
+        remat={"off": False, "full": True, "l2": "l2"}[args.remat])
 
     model = PWCDCNet(variant=args.variant,
                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -176,6 +181,21 @@ def main(argv=None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     if args.resume:
         step = ckpt.latest_step(args.out_dir)
+        if pcount > 1:
+            # Only rank 0 writes checkpoints; every rank restores from its
+            # own view of out_dir. On a non-shared filesystem the ranks
+            # would silently restore DIFFERENT states (rank 0 trained, the
+            # rest fresh) and replicate() would stitch them into one
+            # corrupted "replicated" model — fail loudly instead.
+            import numpy as _np
+            from jax.experimental import multihost_utils
+            mine = _np.asarray([-1 if step is None else int(step)])
+            every = multihost_utils.process_allgather(mine)
+            if len(set(int(v) for v in every.ravel())) != 1:
+                raise SystemExit(
+                    "--resume sees different checkpoint steps per process "
+                    f"({every.ravel().tolist()}): out_dir must be one "
+                    "shared filesystem visible to all hosts")
         if step is not None:
             import numpy as _np
             like = {"params": jax.tree.map(_np.asarray, state.params),

@@ -59,17 +59,32 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
     resident = [0]          # fetched-but-unreleased samples (lock: count_lk)
     peak = [0]
     count_lk = threading.Lock()
+    stop = threading.Event()    # set on consumer exit (incl. engine errors)
+    # so the producer never blocks forever on a full queue
+
+    def _put_guarded(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _produce():
         for i in range(n):
+            if stop.is_set():
+                return
             s = dataset[i]
             with count_lk:
                 resident[0] += 1
                 peak[0] = max(peak[0], resident[0])
-            q.put((i, s))
-        q.put(None)
+            if not _put_guarded((i, s)):
+                return
+        _put_guarded(None)
 
-    threading.Thread(target=_produce, daemon=True).start()
+    threading.Thread(target=_produce, daemon=True,
+                     name="evaluate-producer").start()
 
     epe_by_i: Dict[int, float] = {}
     fl_by_i: Dict[int, float] = {}
@@ -107,24 +122,30 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
     # stays ≤ 2·batch even for adversarially interleaved shapes
     groups: Dict[tuple, list] = {}
     pending = 0
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        i, s = item
-        buf = groups.setdefault(tuple(s["im1"].shape), [])
-        buf.append((i, s))
-        pending += 1
-        if len(buf) == batch:
-            _flush(buf)
-            pending -= batch
-        elif pending == batch:
-            fullest = max(groups.values(), key=len)
-            pending -= len(fullest)
-            _flush(fullest)
-    for buf in groups.values():
-        if buf:
-            _flush(buf)
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            i, s = item
+            buf = groups.setdefault(tuple(s["im1"].shape), [])
+            buf.append((i, s))
+            pending += 1
+            if len(buf) == batch:
+                _flush(buf)
+                pending -= batch
+            elif pending == batch:
+                fullest = max(groups.values(), key=len)
+                pending -= len(fullest)
+                _flush(fullest)
+        for buf in groups.values():
+            if buf:
+                _flush(buf)
+    finally:
+        # unblock the producer on any exit path (engine errors included):
+        # without this an abandoned thread stays parked on the bounded
+        # q.put, pinning a batch of decoded frames for the process lifetime
+        stop.set()
 
     if verbose:
         for i in sorted(epe_by_i):

@@ -53,14 +53,31 @@ class AsyncVideoWriter:
     def isOpened(self) -> bool:  # noqa: N802 — cv2.VideoWriter API
         return self._opened
 
+    def _put(self, item: Optional[np.ndarray]) -> None:
+        # bounded-wait put: if the encoder thread died (its exception is in
+        # self._exc) nobody will drain the queue — a plain blocking put
+        # would deadlock the producer with the error never surfacing
+        while True:
+            if self._exc is not None:
+                raise self._exc
+            if not self._thread.is_alive():
+                raise RuntimeError("encoder thread is not running "
+                                   "(write after release?)")
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
     def write(self, frame: np.ndarray) -> None:
-        if self._exc is not None:
-            raise self._exc
-        self._q.put(frame)
+        self._put(frame)
 
     def release(self) -> None:
         if self._thread.is_alive():
-            self._q.put(None)
+            try:
+                self._put(None)
+            except Exception:
+                pass  # encoder died; its error is re-raised below
             self._thread.join()
         if self._exc is not None:
             raise self._exc

@@ -45,29 +45,34 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     flow: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    abandoned: bool = False      # caller timed out; skip at dispatch
     t_enqueue: float = field(default_factory=time.perf_counter)
 
 
 @dataclass
 class ServerMetrics:
-    """Rolling serving metrics (thread-safe snapshots via :meth:`snapshot`)."""
+    """Rolling serving metrics; all access goes through the internal lock
+    (mutations race with /metrics snapshots on handler threads)."""
     requests: int = 0
     batches: int = 0
     occupancy_sum: int = 0
     errors: int = 0
     latencies: collections.deque = field(
         default_factory=lambda: collections.deque(maxlen=1024))
+    lock: threading.Lock = field(default_factory=threading.Lock)
 
     def snapshot(self) -> dict:
-        lats = sorted(self.latencies)
+        with self.lock:
+            lats = sorted(self.latencies)
+            requests, batches = self.requests, self.batches
+            errors, occ = self.errors, self.occupancy_sum
         pct = (lambda q: lats[min(len(lats) - 1, int(q * len(lats)))]
                if lats else 0.0)
         return {
-            "requests": self.requests,
-            "batches": self.batches,
-            "errors": self.errors,
-            "mean_batch_occupancy": (self.occupancy_sum / self.batches
-                                     if self.batches else 0.0),
+            "requests": requests,
+            "batches": batches,
+            "errors": errors,
+            "mean_batch_occupancy": occ / batches if batches else 0.0,
             "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
                           "p99": pct(0.99)},
         }
@@ -116,10 +121,14 @@ class FlowServer:
             self._queue.append(p)
             self._cv.notify_all()
         if not p.done.wait(timeout):
+            # mark abandoned so the dispatcher drops it instead of spending
+            # a padded device batch on a result nobody will read
+            with self._cv:
+                p.abandoned = True
             raise TimeoutError("flow request timed out")
         if p.error is not None:
             raise p.error
-        with self._cv:
+        with self.metrics.lock:
             self.metrics.requests += 1
             self.metrics.latencies.append(
                 time.perf_counter() - p.t_enqueue)
@@ -146,11 +155,18 @@ class FlowServer:
                 if left <= 0:
                     break
                 self._cv.wait(timeout=left)
+            # drop requests whose callers already timed out
+            while self._queue and self._queue[0].abandoned:
+                self._queue.popleft()
+            if not self._queue:
+                return []
             # one (shape, size_mode) bucket per launch, FIFO within it
             key = (self._queue[0].im1.shape, self._queue[0].size_mode)
             batch, keep = [], collections.deque()
             while self._queue and len(batch) < self.max_batch:
                 p = self._queue.popleft()
+                if p.abandoned:
+                    continue
                 if (p.im1.shape, p.size_mode) == key:
                     batch.append(p)
                 else:
@@ -162,7 +178,10 @@ class FlowServer:
         while True:
             batch = self._take_batch()
             if not batch:
-                return
+                with self._cv:
+                    if self._stop and not self._queue:
+                        return
+                continue  # everything drained was abandoned; keep serving
             try:
                 im1s = [p.im1 for p in batch]
                 im2s = [p.im2 for p in batch]
@@ -176,14 +195,14 @@ class FlowServer:
                 for p, f in zip(batch, flows):
                     p.flow = np.asarray(f)
                     p.done.set()
-                with self._cv:
+                with self.metrics.lock:
                     self.metrics.batches += 1
                     self.metrics.occupancy_sum += len(batch)
             except Exception as e:  # propagate to all waiters, keep serving
                 for p in batch:
                     p.error = e
                     p.done.set()
-                with self._cv:
+                with self.metrics.lock:
                     self.metrics.errors += len(batch)
 
 
@@ -221,7 +240,7 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             if self.path != "/v1/flow":
                 self._send(404, b'{"error": "not found"}')
                 return
-            try:
+            try:  # client-side faults -> 400
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n))
                 ims = []
@@ -231,13 +250,24 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
                     if im is None:
                         raise ValueError(f"could not decode {k}")
                     ims.append(im[:, :, ::-1])  # BGR -> RGB (engine input)
-                flow = server.flow(ims[0], ims[1],
-                                   size_mode=req.get("size_mode", "resize"),
-                                   timeout=float(req.get("timeout", 60.0)))
+                size_mode = req.get("size_mode", "resize")
+                timeout = float(req.get("timeout", 60.0))
+                if ims[0].shape != ims[1].shape:
+                    raise ValueError(
+                        f"frame shapes differ: {ims[0].shape} vs "
+                        f"{ims[1].shape}")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            try:  # server-side faults -> 5xx (retryable)
+                flow = server.flow(ims[0], ims[1], size_mode=size_mode,
+                                   timeout=timeout)
                 from opticalflow_tpu.io.flo import write_flo_bytes
                 self._send(200, write_flo_bytes(flow),
                            ctype="application/octet-stream")
+            except TimeoutError as e:   # overloaded: batching queue backlog
+                self._send(503, json.dumps({"error": str(e)}).encode())
             except Exception as e:
-                self._send(400, json.dumps({"error": str(e)}).encode())
+                self._send(500, json.dumps({"error": str(e)}).encode())
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -155,3 +155,35 @@ def test_no_gt_dataset_gives_nan():
     eng = StubEngine()
     res = evaluate_pairs(eng, StubDataset(with_gt=False), verbose=False)
     assert np.isnan(res["epe"])
+
+
+def test_engine_error_unblocks_producer_thread():
+    """An engine failure must not leave the fetch thread parked on the
+    bounded queue holding decoded frames (review finding)."""
+    import threading
+    import time
+    import numpy as np
+    import pytest
+    from opticalflow_tpu.evaluate import evaluate_pairs
+
+    class _Boom:
+        def flow_from_pairs(self, *a, **k):
+            raise RuntimeError("engine boom")
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            z = np.zeros((8, 8, 3), np.uint8)
+            return {"im1": z, "im2": z, "stem": str(i)}
+
+    with pytest.raises(RuntimeError, match="engine boom"):
+        evaluate_pairs(_Boom(), _DS(), batch=4)
+    for _ in range(40):  # producer should notice stop and exit promptly
+        if not any(t.name == "evaluate-producer" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("evaluate-producer thread leaked")

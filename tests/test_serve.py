@@ -161,3 +161,64 @@ def test_http_round_trip_with_real_engine(tmp_path):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_abandoned_request_not_dispatched():
+    """A request whose caller timed out must be dropped from the queue, not
+    spent on a padded device batch (review finding: overload collapse)."""
+    from opticalflow_tpu.serve import FlowServer
+
+    gate = threading.Event()
+
+    class _Slow(_FakeEngine):
+        def flow_from_pairs(self, im1s, im2s, **kw):
+            out = super().flow_from_pairs(im1s, im2s, **kw)
+            gate.wait(10)  # hold the dispatcher on the first launch
+            return out
+
+    eng = _Slow()
+    srv = FlowServer(eng, max_batch=1, max_delay_ms=1)
+    try:
+        t1 = threading.Thread(
+            target=lambda: srv.flow(_img(0), _img(1), timeout=10))
+        t1.start()
+        time.sleep(0.2)  # dispatcher is now blocked inside launch #1
+        with pytest.raises(TimeoutError):
+            srv.flow(_img(2), _img(3), timeout=0.05)  # abandoned in queue
+        gate.set()
+        t1.join()
+        out = srv.flow(_img(4), _img(5), timeout=10)  # healthy request
+        assert out.shape == (8, 12, 2)
+        # launches: the first (blocked) one + the healthy one; NOT the
+        # abandoned request
+        assert len(eng.calls) == 2
+    finally:
+        gate.set()
+        srv.close()
+
+
+def test_metrics_snapshot_during_traffic():
+    """GET /metrics races request completions; snapshot must not blow up on
+    concurrent deque mutation (review finding)."""
+    from opticalflow_tpu.serve import FlowServer
+    eng = _FakeEngine()
+    srv = FlowServer(eng, max_batch=2, max_delay_ms=1)
+    errs = []
+
+    def snap_loop():
+        try:
+            for _ in range(300):
+                srv.metrics.snapshot()
+        except Exception as e:  # pragma: no cover - the bug
+            errs.append(e)
+
+    try:
+        t = threading.Thread(target=snap_loop)
+        t.start()
+        for i in range(40):
+            srv.flow(_img(i), _img(i + 1), timeout=10)
+        t.join()
+        assert not errs
+        assert srv.metrics.snapshot()["requests"] == 40
+    finally:
+        srv.close()

@@ -115,3 +115,30 @@ def test_preset_applied(runner):
     (_, _, q), = list(runner.run(iter(f)))
     expected = (128 / 255.0) * 2.0
     np.testing.assert_allclose(q[..., 0], expected, atol=1e-5)
+
+
+def test_async_writer_encoder_error_surfaces_not_deadlocks(tmp_path):
+    """If the encoder thread dies mid-stream, write() must raise the error
+    instead of blocking forever on the full queue (review finding)."""
+    import numpy as np
+    import cv2
+    from opticalflow_tpu.io.video import AsyncVideoWriter
+
+    wr = AsyncVideoWriter(str(tmp_path / "x.mp4"),
+                          cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 16),
+                          queue_size=2)
+
+    class _Boom:
+        def write(self, frame):
+            raise RuntimeError("encoder boom")
+
+        def release(self):
+            pass
+
+    wr._wr = _Boom()
+    frame = np.zeros((16, 32, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="encoder boom"):
+        for _ in range(50):  # far beyond queue_size: would deadlock before
+            wr.write(frame)
+    with pytest.raises(RuntimeError, match="encoder boom"):
+        wr.release()
