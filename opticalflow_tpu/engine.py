@@ -78,17 +78,40 @@ class FlowEngine:
                                  f"choose from {imio.PREPROC_PRESETS}")
             return model.apply({"params": params}, x) * scale
 
+        def full_resize_u8(params, xu8, hscale, wscale, preset, height,
+                           width):
+            # ONE program: u8 preprocess → forward → straight quarter →
+            # original-size resize (half-pixel, matching cv2.resize in
+            # script_pwc.py:76-81) → vector rescale by the /64 distortion.
+            # A single dispatch per batch — per-call overhead is ~30 ms on
+            # relay-attached hosts, so fusing pre/net/post halves it.
+            q = quarter_flow_u8(params, xu8, preset)
+            b = q.shape[0]
+            flow = jax.image.resize(q, (b, height, width, 2), method="linear")
+            return flow * jnp.stack([wscale, hscale])
+
+        def full_pad_u8(params, xu8, preset, height, width):
+            # ONE program: u8 preprocess → forward → upsample to the padded
+            # size (align_corners=True like flow_resize); crop stays on host
+            q = quarter_flow_u8(params, xu8, preset)
+            return flow_resize(q, height, width)
+
         if mesh is not None:
             self._quarter_flow = jax.jit(
                 quarter_flow, in_shardings=(None, self._x_sharding))
-            # positional static preset: pjit rejects kwargs with in_shardings
-            self._quarter_flow_u8 = jax.jit(
-                quarter_flow_u8, static_argnums=(2,),
+            # positional statics: pjit rejects kwargs with in_shardings
+            self._full_resize_u8 = jax.jit(
+                full_resize_u8, static_argnums=(4, 5, 6),
+                in_shardings=(None, self._x_sharding, None, None))
+            self._full_pad_u8 = jax.jit(
+                full_pad_u8, static_argnums=(2, 3, 4),
                 in_shardings=(None, self._x_sharding))
         else:
             self._quarter_flow = jax.jit(quarter_flow)
-            self._quarter_flow_u8 = jax.jit(quarter_flow_u8,
-                                            static_argnums=(2,))
+            self._full_resize_u8 = jax.jit(full_resize_u8,
+                                           static_argnums=(4, 5, 6))
+            self._full_pad_u8 = jax.jit(full_pad_u8,
+                                        static_argnums=(2, 3, 4))
 
         @functools.partial(jax.jit,
                            static_argnames=("height", "width", "align_corners"))
@@ -98,17 +121,6 @@ class FlowEngine:
             return upsample_flow_to(q, height, width)
 
         self._quarter_to_full = quarter_to_full
-
-        @functools.partial(jax.jit, static_argnames=("height", "width"))
-        def quarter_to_size(q, hscale, wscale, *, height, width):
-            # straight quarter → original-size resize (half-pixel, matching
-            # cv2.resize in script_pwc.py:76-81), then vector rescale by the
-            # /64 distortion factor.
-            b = q.shape[0]
-            flow = jax.image.resize(q, (b, height, width, 2), method="linear")
-            return flow * jnp.stack([wscale, hscale])
-
-        self._quarter_to_size = quarter_to_size
 
     # ---------------------------------------------------------- public API
 
@@ -160,19 +172,18 @@ class FlowEngine:
             # uint8 up, preprocess on device (4× less H2D than float32)
             x = np.stack([np.concatenate((a, b), axis=-1)
                           for a, b in zip(r1s, r2s)]).astype(np.uint8)
-            q = self._quarter_flow_u8(self.params, jnp.asarray(x), preset)
-            flow = self._quarter_to_size(
-                q, jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
-                height=h, width=w)
+            flow = self._full_resize_u8(
+                self.params, jnp.asarray(x),
+                jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
+                preset, h, w)
             return np.asarray(flow)
         if size_mode == "pad":
             x = np.stack([np.concatenate((a, b), axis=-1)
                           for a, b in zip(im1s, im2s)]).astype(np.uint8)
             xp, _, _ = imio.pad_to_multiple_of_64(x)
             hp, wp = xp.shape[1:3]
-            q = self._quarter_flow_u8(self.params, jnp.asarray(xp), preset)
-            full = self._quarter_to_full(q, height=hp, width=wp,
-                                         align_corners=True)
+            full = self._full_pad_u8(self.params, jnp.asarray(xp), preset,
+                                     hp, wp)
             return np.asarray(full[:, :h, :w])
         raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
 
