@@ -24,13 +24,12 @@ from __future__ import annotations
 
 import base64
 import collections
-import io
 import json
 import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
