@@ -61,6 +61,16 @@ def main(argv=None) -> int:
                                    preset=args.preset, size_mode=size_mode)
         print(f"warmed up batch={args.max_batch} at {h}x{w} (both size modes)")
     httpd = make_http_server(server, args.host, args.port)
+
+    import signal
+    import threading
+
+    def _shutdown(signum, frame):
+        # serve_forever() returns after shutdown(); must be called from
+        # another thread or it deadlocks inside the handler
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, delay={args.max_delay_ms}ms)")
     try:
