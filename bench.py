@@ -19,7 +19,11 @@ import time
 
 BASELINE_PAIRS_PER_SEC = 200.0  # BASELINE.json north_star
 H, W = 448, 1024                # Sintel 436x1024 padded to /64
-BATCH = 64
+# B=8 is the measured throughput peak on v5e (round-3 sweep, PERF.md):
+# the blocked level-1/2 pipeline (auto-on below pair-batch 32) clears
+# 329 pairs/s/chip there vs 297 at the former B=64 config; neighbors
+# B=6/10/12 land far lower (237/226/258), so the peak is batch-exact.
+BATCH = 8
 LOOP_N = 20
 REPEATS = 3
 
