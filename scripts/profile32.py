@@ -21,10 +21,14 @@ def main():
     import jax.numpy as jnp
     from opticalflow_tpu.models.pwcnet import PWCDCNet
 
+    global BATCH
     flags = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        flags[k] = bool(int(v))
+        if k == "batch":
+            BATCH = int(v)
+        else:
+            flags[k] = bool(int(v))
 
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast",
                      **flags)
