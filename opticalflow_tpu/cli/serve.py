@@ -78,7 +78,12 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        # Drain order matters: the dispatcher must finish queued requests
+        # first (handler threads are parked on their events), then
+        # server_close() joins the handler threads so responses finish
+        # writing before the process exits.
         server.close()
+        httpd.server_close()
     return 0
 
 

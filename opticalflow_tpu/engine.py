@@ -26,6 +26,29 @@ from opticalflow_tpu.io import images as imio
 __all__ = ["FlowEngine"]
 
 
+def _as_uint8_frame(im, what: str) -> np.ndarray:
+    """Validate/convert one frame for the u8 upload path.
+
+    The device program quantizes to uint8 before /255; silently truncating
+    a float frame (e.g. one already normalized to [0,1]) would return
+    plausible-looking garbage flow.  Exactly-integral [0,255] inputs of any
+    dtype convert losslessly; anything else fails loudly."""
+    a = np.asarray(im)
+    if a.dtype == np.uint8:
+        return a
+    if (np.issubdtype(a.dtype, np.integer)
+            or (np.issubdtype(a.dtype, np.floating)
+                and np.all(a == np.rint(a)))):
+        if a.size and (a.min() < 0 or a.max() > 255):
+            raise TypeError(f"{what} has values outside [0, 255] "
+                            f"(dtype {a.dtype}) — pass uint8 frames")
+        return a.astype(np.uint8)
+    raise TypeError(
+        f"{what} must be uint8 (or exactly-integral [0, 255]) — got "
+        f"non-integral {a.dtype} values; if the frames were normalized to "
+        f"[0, 1], multiply by 255 and round, or decode to uint8 directly")
+
+
 class FlowEngine:
     """Batched optical-flow inference on TPU.
 
@@ -165,13 +188,15 @@ class FlowEngine:
                 raise ValueError(
                     "flow_from_pairs needs one common frame shape per call; "
                     f"got {im.shape[:2]} vs {(h, w)} — group by shape first")
+        im1s = [_as_uint8_frame(im, "im1") for im in im1s]
+        im2s = [_as_uint8_frame(im, "im2") for im in im2s]
         if size_mode == "resize":
             r1s = [imio.resize_to_multiple_of_64(im)[0] for im in im1s]
             r2s = [imio.resize_to_multiple_of_64(im)[0] for im in im2s]
             h64, w64 = r1s[0].shape[:2]
             # uint8 up, preprocess on device (4× less H2D than float32)
             x = np.stack([np.concatenate((a, b), axis=-1)
-                          for a, b in zip(r1s, r2s)]).astype(np.uint8)
+                          for a, b in zip(r1s, r2s)])
             flow = self._full_resize_u8(
                 self.params, jnp.asarray(x),
                 jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
@@ -179,7 +204,7 @@ class FlowEngine:
             return np.asarray(flow)
         if size_mode == "pad":
             x = np.stack([np.concatenate((a, b), axis=-1)
-                          for a, b in zip(im1s, im2s)]).astype(np.uint8)
+                          for a, b in zip(im1s, im2s)])
             xp, _, _ = imio.pad_to_multiple_of_64(x)
             hp, wp = xp.shape[1:3]
             full = self._full_pad_u8(self.params, jnp.asarray(xp), preset,

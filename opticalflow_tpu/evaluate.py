@@ -72,15 +72,23 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
         return False
 
     def _produce():
-        for i in range(n):
-            if stop.is_set():
-                return
-            s = dataset[i]
-            with count_lk:
-                resident[0] += 1
-                peak[0] = max(peak[0], resident[0])
-            if not _put_guarded((i, s)):
-                return
+        # A dataset read error must reach the consumer: dying silently here
+        # would leave the main thread parked on q.get() forever.  The
+        # exception travels through the queue and is re-raised below,
+        # matching the old materialize-first behavior (which raised inline).
+        try:
+            for i in range(n):
+                if stop.is_set():
+                    return
+                s = dataset[i]
+                with count_lk:
+                    resident[0] += 1
+                    peak[0] = max(peak[0], resident[0])
+                if not _put_guarded((i, s)):
+                    return
+        except BaseException as exc:  # noqa: BLE001 — forwarded, not dropped
+            _put_guarded(("error", exc))
+            return
         _put_guarded(None)
 
     threading.Thread(target=_produce, daemon=True,
@@ -127,6 +135,8 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
             item = q.get()
             if item is None:
                 break
+            if item[0] == "error":
+                raise item[1]
             i, s = item
             buf = groups.setdefault(tuple(s["im1"].shape), [])
             buf.append((i, s))

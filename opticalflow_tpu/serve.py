@@ -133,11 +133,19 @@ class FlowServer:
                 time.perf_counter() - p.t_enqueue)
         return p.flow
 
-    def close(self) -> None:
+    def close(self, timeout: Optional[float] = None) -> bool:
+        """Stop accepting requests and drain the queue.
+
+        The dispatcher finishes every already-queued request (callers are
+        still parked on their events) before exiting; ``timeout=None``
+        waits for the full drain — a first-shape compile can take minutes,
+        and cutting it off would drop in-flight requests.  Returns True if
+        the dispatcher exited within ``timeout``."""
         with self._cv:
             self._stop = True
             self._cv.notify_all()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=timeout)
+        return not self._thread.is_alive()
 
     # --------------------------------------------------------- dispatcher
 
@@ -148,7 +156,10 @@ class FlowServer:
                 self._cv.wait()
             if self._stop and not self._queue:
                 return []
-            deadline = time.perf_counter() + self.max_delay
+            # The wait budget belongs to the oldest queued request, which may
+            # have been enqueued while the previous batch was on device —
+            # counting from now would surcharge every batch under load.
+            deadline = self._queue[0].t_enqueue + self.max_delay
             while (len(self._queue) < self.max_batch and not self._stop):
                 left = deadline - time.perf_counter()
                 if left <= 0:
@@ -215,6 +226,10 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout so a silent client can't pin a handler thread
+        # forever (server_close joins them on clean shutdown).
+        timeout = 30
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -269,4 +284,11 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             except Exception as e:
                 self._send(500, json.dumps({"error": str(e)}).encode())
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # Non-daemon handler threads + joined on server_close(): a SIGTERM
+        # drain lets in-flight responses finish writing instead of killing
+        # the threads mid-response when the process exits.
+        daemon_threads = False
+        block_on_close = True
+
+    return _Server((host, port), Handler)

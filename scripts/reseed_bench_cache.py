@@ -30,7 +30,18 @@ def main() -> None:
         if f.endswith("-cache"):
             shutil.copy2(os.path.join(live, f), os.path.join(scratch, f))
             os.utime(os.path.join(scratch, f), (ANCIENT, ANCIENT))
+    # Pre-extract the existing repo seed with ancient times too: bench's
+    # restore_cache_seed would otherwise write any tarball-only entries
+    # with fresh mtimes, defeating the used-filter below and letting stale
+    # programs accumulate in the regenerated seed forever.  The env var
+    # MUST be set before anything imports opticalflow_tpu — the package
+    # __init__ wires jax's cache dir from it at import time.
     os.environ["OPTICALFLOW_TPU_CACHE"] = scratch
+    from opticalflow_tpu.utils import cache_seed as _cs
+    _cs.restore_cache_seed()
+    for f in os.listdir(scratch):
+        if f.endswith("-cache"):
+            os.utime(os.path.join(scratch, f), (ANCIENT, ANCIENT))
 
     import jax
     import opticalflow_tpu  # noqa: F401  (wires the cache dir to scratch)

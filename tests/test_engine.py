@@ -95,6 +95,25 @@ def test_flow_from_pairs_matches_per_pair(setup, size_mode):
         np.testing.assert_allclose(batched[k], single, atol=1e-4, rtol=1e-4)
 
 
+def test_flow_from_pairs_validates_frame_dtype(setup):
+    """The u8 upload path must not silently truncate float frames (review
+    finding): [0,1]-normalized input would become all-zeros, a float
+    [0,255] frame would quantize.  Integral floats convert losslessly."""
+    model, params = setup
+    engine = FlowEngine(model, params, flow_scale=1.0)
+    im1, im2 = _frames(64, 64)
+    base = engine.flow_from_pair(im1, im2, size_mode="pad")
+    # exactly-integral float frames are accepted and bit-match uint8
+    f = engine.flow_from_pair(im1.astype(np.float32), im2.astype(np.float64),
+                              size_mode="pad")
+    np.testing.assert_array_equal(f, base)
+    with pytest.raises(TypeError, match="non-integral"):
+        engine.flow_from_pair(im1 / 255.0, im2 / 255.0, size_mode="pad")
+    with pytest.raises(TypeError, match="outside"):
+        engine.flow_from_pair(im1.astype(np.int32) - 300,
+                              im2.astype(np.int32), size_mode="pad")
+
+
 def test_flow_from_pairs_rejects_mixed_shapes(setup):
     model, params = setup
     engine = FlowEngine(model, params)

@@ -157,6 +157,21 @@ def test_no_gt_dataset_gives_nan():
     assert np.isnan(res["epe"])
 
 
+def test_dataset_error_raises_instead_of_hanging():
+    """A dataset read error inside the fetch thread must surface in the
+    caller (the old materialize-first version raised inline); before the
+    fix the consumer blocked forever on the queue (review finding)."""
+
+    class _BadDS(StubDataset):
+        def __getitem__(self, i):
+            if i == 2:
+                raise IOError("corrupt png")
+            return self.samples[i]
+
+    with pytest.raises(IOError, match="corrupt png"):
+        evaluate_pairs(StubEngine(), _BadDS(4), batch=4, verbose=False)
+
+
 def test_engine_error_unblocks_producer_thread():
     """An engine failure must not leave the fetch thread parked on the
     bounded queue holding decoded frames (review finding)."""

@@ -161,6 +161,51 @@ def test_http_round_trip_with_real_engine(tmp_path):
     finally:
         httpd.shutdown()
         srv.close()
+        httpd.server_close()   # joins the (non-daemon) handler threads
+
+
+def test_close_drains_queued_requests():
+    """close() must let already-queued requests finish (SIGTERM drain):
+    callers are parked on their events and would otherwise hang/drop."""
+    import time as _time
+
+    gate = threading.Event()   # holds the first batch on "device"
+
+    class _GatedEngine:
+        def flow_from_pairs(self, im1s, im2s, preset="bgr_unit",
+                            size_mode="resize"):
+            gate.wait(10)
+            h, w = im1s[0].shape[:2]
+            return np.zeros((len(im1s), h, w, 2), np.float32)
+
+    from opticalflow_tpu.serve import FlowServer
+    srv = FlowServer(_GatedEngine(), max_batch=1, max_delay_ms=1)
+    im = np.zeros((8, 8, 3), np.uint8)
+    results = {}
+
+    def _req(i):
+        results[i] = srv.flow(im, im, timeout=10)
+
+    threads = [threading.Thread(target=_req, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    deadline = _time.monotonic() + 5
+    while len(srv._queue) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.01)   # first request on "device", two more queued
+    assert len(srv._queue) >= 2
+    drained = []
+    closer = threading.Thread(
+        target=lambda: drained.append(srv.close(timeout=10)))
+    closer.start()
+    _time.sleep(0.05)
+    gate.set()              # release the in-flight batch; queue drains
+    closer.join(timeout=10)
+    assert drained == [True]
+    for t in threads:
+        t.join(timeout=10)
+    assert sorted(results) == [0, 1, 2]
+    with pytest.raises(RuntimeError, match="shut down"):
+        srv.flow(im, im, timeout=1)
 
 
 def test_abandoned_request_not_dispatched():
