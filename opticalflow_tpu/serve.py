@@ -16,6 +16,11 @@ dependency-free component:
     ``POST /v1/flow`` with a JSON body ``{"im1": <b64 PNG/JPG>, "im2":
     <b64>, "size_mode": "resize"}`` returns the flow as a Middlebury
     ``.flo`` body; ``GET /healthz`` and ``GET /metrics`` for probes.
+    For hot paths, POST ``Content-Type: application/octet-stream`` to the
+    same route with the two raw uint8 RGB frames concatenated in the body
+    and ``X-Frame-Shape: HxWx3`` (plus optional ``X-Size-Mode``/
+    ``X-Timeout`` headers) — no base64 inflation, no PNG decode, which is
+    what serializes request parsing on small hosts (PERF.md).
 
 Run:  ``python -m opticalflow_tpu.cli.serve --ckpt pwc_net.pth.tar``.
 """
@@ -250,31 +255,67 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             else:
                 self._send(404, b'{"error": "not found"}')
 
+        def _parse_json(self, body: bytes):
+            """b64-PNG/JPG JSON body -> (im1, im2, size_mode, timeout)."""
+            req = json.loads(body)
+            ims = []
+            for k in ("im1", "im2"):
+                buf = np.frombuffer(base64.b64decode(req[k]), np.uint8)
+                im = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+                if im is None:
+                    raise ValueError(f"could not decode {k}")
+                ims.append(im[:, :, ::-1])  # BGR -> RGB (engine input)
+            return (ims[0], ims[1], req.get("size_mode", "resize"),
+                    float(req.get("timeout", 60.0)))
+
+        def _parse_raw(self, body: bytes):
+            """octet-stream body (two raw uint8 RGB frames back to back,
+            shape in X-Frame-Shape) -> (im1, im2, size_mode, timeout).
+            Skips base64 inflation and PNG decode — the measured host-side
+            serialization bottleneck under load (PERF.md)."""
+            hdr = self.headers.get("X-Frame-Shape", "")
+            try:
+                shape = tuple(int(v) for v in hdr.lower().split("x"))
+            except ValueError:
+                shape = ()
+            if len(shape) != 3 or shape[2] != 3 or min(shape) <= 0:
+                raise ValueError(
+                    f"X-Frame-Shape must be 'HxWx3', got {hdr!r}")
+            need = 2 * shape[0] * shape[1] * shape[2]
+            if len(body) != need:
+                raise ValueError(
+                    f"body must be exactly {need} bytes for two "
+                    f"{shape} uint8 frames, got {len(body)}")
+            buf = np.frombuffer(body, np.uint8)
+            im1 = buf[: need // 2].reshape(shape)
+            im2 = buf[need // 2:].reshape(shape)
+            return (im1, im2, self.headers.get("X-Size-Mode", "resize"),
+                    float(self.headers.get("X-Timeout", "60")))
+
         def do_POST(self):
             if self.path != "/v1/flow":
                 self._send(404, b'{"error": "not found"}')
                 return
             try:  # client-side faults -> 400
+                # read the full body up front: an error response that leaves
+                # unread body bytes on the socket corrupts the next request
+                # on a keep-alive connection
                 n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n))
-                ims = []
-                for k in ("im1", "im2"):
-                    buf = np.frombuffer(base64.b64decode(req[k]), np.uint8)
-                    im = cv2.imdecode(buf, cv2.IMREAD_COLOR)
-                    if im is None:
-                        raise ValueError(f"could not decode {k}")
-                    ims.append(im[:, :, ::-1])  # BGR -> RGB (engine input)
-                size_mode = req.get("size_mode", "resize")
-                timeout = float(req.get("timeout", 60.0))
-                if ims[0].shape != ims[1].shape:
+                body = self.rfile.read(n)
+                ctype = self.headers.get(
+                    "Content-Type", "application/json").split(";")[0].strip()
+                if ctype == "application/octet-stream":
+                    im1, im2, size_mode, timeout = self._parse_raw(body)
+                else:
+                    im1, im2, size_mode, timeout = self._parse_json(body)
+                if im1.shape != im2.shape:
                     raise ValueError(
-                        f"frame shapes differ: {ims[0].shape} vs "
-                        f"{ims[1].shape}")
+                        f"frame shapes differ: {im1.shape} vs {im2.shape}")
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return
             try:  # server-side faults -> 5xx (retryable)
-                flow = server.flow(ims[0], ims[1], size_mode=size_mode,
+                flow = server.flow(im1, im2, size_mode=size_mode,
                                    timeout=timeout)
                 from opticalflow_tpu.io.flo import write_flo_bytes
                 self._send(200, write_flo_bytes(flow),

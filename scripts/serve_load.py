@@ -1,0 +1,131 @@
+"""Load-test the HTTP serving layer: JSON(base64 PNG) vs raw-tensor posts.
+
+Drives a real in-process FlowServer (random-init weights, bf16 fast path)
+with concurrent HTTP clients and reports req/s + latency percentiles +
+batch occupancy per request encoding.  The JSON path pays base64 inflation
+and PNG decode on the 1-core host; the octet-stream path posts the two raw
+uint8 frames with an ``X-Frame-Shape`` header (see ``serve.py``).
+
+    python scripts/serve_load.py [H W] [clients] [reqs_per_client]
+
+No reference counterpart (the reference has no serving layer).
+"""
+from __future__ import annotations
+
+import http.client
+import struct
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def run_mode(port: int, mode: str, frames, clients: int, reqs: int):
+    import base64
+    import json
+
+    import cv2
+
+    h, w, _ = frames[0].shape
+    lat: list = []
+    errs: list = []
+    lock = threading.Lock()
+
+    def one_client(cid: int):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        for r in range(reqs):
+            im1 = frames[(cid + r) % len(frames)]
+            im2 = frames[(cid + r + 1) % len(frames)]
+            t0 = time.perf_counter()
+            if mode == "json":
+                body = json.dumps({
+                    "im1": base64.b64encode(
+                        cv2.imencode(".png", im1[:, :, ::-1])[1]).decode(),
+                    "im2": base64.b64encode(
+                        cv2.imencode(".png", im2[:, :, ::-1])[1]).decode(),
+                    "size_mode": "resize", "timeout": 120})
+                conn.request("POST", "/v1/flow", body,
+                             {"Content-Type": "application/json"})
+            else:
+                conn.request("POST", "/v1/flow",
+                             im1.tobytes() + im2.tobytes(),
+                             {"Content-Type": "application/octet-stream",
+                              "X-Frame-Shape": f"{h}x{w}x3",
+                              "X-Timeout": "120"})
+            resp = conn.getresponse()
+            data = resp.read()
+            dt = time.perf_counter() - t0
+            with lock:
+                if resp.status != 200:
+                    errs.append(data[:200])
+                else:
+                    tag, fw, fh = struct.unpack("<fii", data[:12])
+                    assert (fh, fw) == (h, w), (fh, fw)
+                    lat.append(dt)
+        conn.close()
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=one_client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat.sort()
+    pct = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0
+    return {"mode": mode, "req_s": round(len(lat) / wall, 1),
+            "wall_s": round(wall, 2), "ok": len(lat), "errors": len(errs),
+            "p50_s": round(pct(0.50), 2), "p99_s": round(pct(0.99), 2),
+            "err_sample": errs[:2]}
+
+
+def main():
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 180
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 320
+    clients = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reqs = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.serve import FlowServer, make_http_server
+
+    model = PWCDCNet(dtype=jnp.bfloat16, precision="fast")
+    init = jax.jit(model.init)
+    params = init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    engine = FlowEngine(model, params, flow_scale=20.0)
+    server = FlowServer(engine, max_batch=8, max_delay_ms=20.0,
+                        preset="bgr_unit")
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (h, w, 3), np.uint8) for _ in range(4)]
+    print(f"warmup compile at {h}x{w} (batch 8) ...", flush=True)
+    t0 = time.perf_counter()
+    engine.flow_from_pairs([frames[0]] * 8, [frames[1]] * 8,
+                           preset="bgr_unit", size_mode="resize")
+    print(f"warm in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    try:
+        for mode in ("json", "raw"):
+            stats = run_mode(port, mode, frames, clients, reqs)
+            snap = server.metrics.snapshot()
+            stats["mean_occupancy"] = round(snap["mean_batch_occupancy"], 2)
+            print(stats, flush=True)
+    finally:
+        httpd.shutdown()
+        server.close()
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -164,6 +164,53 @@ def test_http_round_trip_with_real_engine(tmp_path):
         httpd.server_close()   # joins the (non-daemon) handler threads
 
 
+def test_http_raw_tensor_endpoint():
+    """octet-stream POST (raw uint8 frames + X-Frame-Shape) must return the
+    same flow as the JSON path without any PNG decode, and malformed
+    headers/bodies must 400 (not 500)."""
+    pytest.importorskip("cv2")  # make_http_server imports cv2 at build time
+    import struct
+    from opticalflow_tpu.io.flo import TAG_FLOAT
+    from opticalflow_tpu.serve import FlowServer, make_http_server
+
+    eng = _FakeEngine()
+    srv = FlowServer(eng, max_batch=2, max_delay_ms=1)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        im1, im2 = _img(0, h=10, w=14), _img(1, h=10, w=14)
+        body = im1.tobytes() + im2.tobytes()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/v1/flow", body, {
+            "Content-Type": "application/octet-stream",
+            "X-Frame-Shape": "10x14x3", "X-Timeout": "30"})
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200, data
+        tag, w, h = struct.unpack("<fii", data[:12])
+        assert abs(tag - TAG_FLOAT) < 1e-3 and (h, w) == (10, 14)
+        flow = np.frombuffer(data[12:], "<f4").reshape(h, w, 2)
+        exp = (im1.astype(np.float32).mean()
+               + im2.astype(np.float32).mean())
+        np.testing.assert_allclose(flow[0, 0, 0], exp, rtol=1e-6)
+
+        # malformed shape header -> 400
+        conn.request("POST", "/v1/flow", body, {
+            "Content-Type": "application/octet-stream",
+            "X-Frame-Shape": "banana"})
+        assert conn.getresponse().status == 400
+        # body length mismatch -> 400
+        conn.request("POST", "/v1/flow", body[:-7], {
+            "Content-Type": "application/octet-stream",
+            "X-Frame-Shape": "10x14x3"})
+        assert conn.getresponse().status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+        httpd.server_close()
+
+
 def test_close_drains_queued_requests():
     """close() must let already-queued requests finish (SIGTERM drain):
     callers are parked on their events and would otherwise hang/drop."""
