@@ -30,6 +30,7 @@ from __future__ import annotations
 import base64
 import collections
 import json
+import math
 import threading
 import time
 from dataclasses import dataclass, field
@@ -255,6 +256,18 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             else:
                 self._send(404, b'{"error": "not found"}')
 
+        @staticmethod
+        def _check_opts(size_mode, timeout):
+            """Validate request options at parse time so client mistakes
+            400 instead of surfacing as retryable 5xx from the engine."""
+            if size_mode not in ("resize", "pad"):
+                raise ValueError(
+                    f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
+            t = float(timeout)
+            if not math.isfinite(t) or t <= 0:   # inf makes Event.wait raise
+                raise ValueError(f"timeout must be finite and > 0, got {t}")
+            return size_mode, t
+
         def _parse_json(self, body: bytes):
             """b64-PNG/JPG JSON body -> (im1, im2, size_mode, timeout)."""
             req = json.loads(body)
@@ -265,8 +278,9 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
                 if im is None:
                     raise ValueError(f"could not decode {k}")
                 ims.append(im[:, :, ::-1])  # BGR -> RGB (engine input)
-            return (ims[0], ims[1], req.get("size_mode", "resize"),
-                    float(req.get("timeout", 60.0)))
+            size_mode, timeout = self._check_opts(
+                req.get("size_mode", "resize"), req.get("timeout", 60.0))
+            return ims[0], ims[1], size_mode, timeout
 
         def _parse_raw(self, body: bytes):
             """octet-stream body (two raw uint8 RGB frames back to back,
@@ -289,8 +303,10 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             buf = np.frombuffer(body, np.uint8)
             im1 = buf[: need // 2].reshape(shape)
             im2 = buf[need // 2:].reshape(shape)
-            return (im1, im2, self.headers.get("X-Size-Mode", "resize"),
-                    float(self.headers.get("X-Timeout", "60")))
+            size_mode, timeout = self._check_opts(
+                self.headers.get("X-Size-Mode", "resize"),
+                self.headers.get("X-Timeout", "60"))
+            return im1, im2, size_mode, timeout
 
         def do_POST(self):
             if self.path != "/v1/flow":
@@ -299,11 +315,24 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
             try:  # client-side faults -> 400
                 # read the full body up front: an error response that leaves
                 # unread body bytes on the socket corrupts the next request
-                # on a keep-alive connection
-                n = int(self.headers.get("Content-Length", "0"))
+                # on a keep-alive connection.  If we can't know or trust the
+                # body length (chunked, bad Content-Length), drop the
+                # connection after responding instead of leaving stray bytes.
+                n_hdr = self.headers.get("Content-Length")
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                if n_hdr is None or "chunked" in te:
+                    self.close_connection = True
+                    raise ValueError("Content-Length required "
+                                     "(chunked bodies unsupported)")
+                try:
+                    n = int(n_hdr)
+                except ValueError:
+                    self.close_connection = True
+                    raise ValueError(f"bad Content-Length: {n_hdr!r}")
                 body = self.rfile.read(n)
                 ctype = self.headers.get(
-                    "Content-Type", "application/json").split(";")[0].strip()
+                    "Content-Type",
+                    "application/json").split(";")[0].strip().lower()
                 if ctype == "application/octet-stream":
                     im1, im2, size_mode, timeout = self._parse_raw(body)
                 else:

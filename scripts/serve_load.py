@@ -34,27 +34,28 @@ def run_mode(port: int, mode: str, frames, clients: int, reqs: int):
     errs: list = []
     lock = threading.Lock()
 
+    # pre-build every request body OUTSIDE the timed region: client-side
+    # PNG encode would otherwise pollute json latencies and steal CPU from
+    # the server on this 1-core host, overstating the raw path's advantage
+    if mode == "json":
+        b64 = [base64.b64encode(
+            cv2.imencode(".png", f[:, :, ::-1])[1]).decode() for f in frames]
+        bodies = [json.dumps({"im1": b64[i], "im2": b64[(i + 1) % len(b64)],
+                              "size_mode": "resize", "timeout": 120})
+                  for i in range(len(frames))]
+        headers = {"Content-Type": "application/json"}
+    else:
+        bodies = [frames[i].tobytes() + frames[(i + 1) % len(frames)].tobytes()
+                  for i in range(len(frames))]
+        headers = {"Content-Type": "application/octet-stream",
+                   "X-Frame-Shape": f"{h}x{w}x3", "X-Timeout": "120"}
+
     def one_client(cid: int):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         for r in range(reqs):
-            im1 = frames[(cid + r) % len(frames)]
-            im2 = frames[(cid + r + 1) % len(frames)]
             t0 = time.perf_counter()
-            if mode == "json":
-                body = json.dumps({
-                    "im1": base64.b64encode(
-                        cv2.imencode(".png", im1[:, :, ::-1])[1]).decode(),
-                    "im2": base64.b64encode(
-                        cv2.imencode(".png", im2[:, :, ::-1])[1]).decode(),
-                    "size_mode": "resize", "timeout": 120})
-                conn.request("POST", "/v1/flow", body,
-                             {"Content-Type": "application/json"})
-            else:
-                conn.request("POST", "/v1/flow",
-                             im1.tobytes() + im2.tobytes(),
-                             {"Content-Type": "application/octet-stream",
-                              "X-Frame-Shape": f"{h}x{w}x3",
-                              "X-Timeout": "120"})
+            conn.request("POST", "/v1/flow",
+                         bodies[(cid + r) % len(bodies)], headers)
             resp = conn.getresponse()
             data = resp.read()
             dt = time.perf_counter() - t0
@@ -117,9 +118,14 @@ def main():
 
     try:
         for mode in ("json", "raw"):
+            # metrics are cumulative; diff snapshots for per-mode occupancy
+            before = server.metrics.snapshot()
             stats = run_mode(port, mode, frames, clients, reqs)
-            snap = server.metrics.snapshot()
-            stats["mean_occupancy"] = round(snap["mean_batch_occupancy"], 2)
+            after = server.metrics.snapshot()
+            db = after["batches"] - before["batches"]
+            docc = (after["mean_batch_occupancy"] * after["batches"]
+                    - before["mean_batch_occupancy"] * before["batches"])
+            stats["mean_occupancy"] = round(docc / db, 2) if db else 0.0
             print(stats, flush=True)
     finally:
         httpd.shutdown()

@@ -205,6 +205,22 @@ def test_http_raw_tensor_endpoint():
             "Content-Type": "application/octet-stream",
             "X-Frame-Shape": "10x14x3"})
         assert conn.getresponse().status == 400
+        # media types are case-insensitive (RFC 7231): an uppercase
+        # Content-Type must still route to the raw parser
+        conn.request("POST", "/v1/flow", body, {
+            "Content-Type": "Application/Octet-Stream; charset=binary",
+            "X-Frame-Shape": "10x14x3"})
+        assert conn.getresponse().status == 200
+        # client mistakes must 400 at parse time, not 500 from the engine:
+        # inf timeout would make Event.wait raise; bad size_mode would
+        # burn a padded device batch per LB retry
+        for hdrs in ({"X-Timeout": "inf"}, {"X-Timeout": "-3"},
+                     {"X-Size-Mode": "stretch"}):
+            conn.request("POST", "/v1/flow", body, {
+                "Content-Type": "application/octet-stream",
+                "X-Frame-Shape": "10x14x3", **hdrs})
+            resp = conn.getresponse()
+            assert resp.status == 400, (hdrs, resp.read())
     finally:
         httpd.shutdown()
         srv.close()
