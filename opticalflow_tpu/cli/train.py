@@ -96,6 +96,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
     from opticalflow_tpu.parallel import mesh as meshlib
+
+    # Preemption-safe training: managed TPU slices get a SIGTERM + grace
+    # window before eviction. Flag it, finish the in-flight step, save a
+    # resumable checkpoint (including mid-epoch loader position), exit 0.
+    # (No reference counterpart — the reference scripts die and lose the
+    # epoch; train.py:120-170.)
+    import signal
+    import threading
+    preempt = threading.Event()
+    try:
+        signal.signal(signal.SIGTERM, lambda s, f: preempt.set())
+    except ValueError:      # not on the main thread (library/test use)
+        pass
     if args.distributed or args.dist_coordinator:
         pid, pcount = meshlib.distributed_init(
             args.dist_coordinator, args.dist_num_processes,
@@ -133,6 +146,10 @@ def main(argv=None) -> int:
     mesh = meshlib.make_mesh()
     print(f"devices: {jax.device_count()} | mesh: {dict(mesh.shape)} | "
           f"regime: {args.regime}")
+    if args.batch % jax.local_device_count():
+        raise SystemExit(
+            f"--batch {args.batch} must be divisible by the local device "
+            f"count ({jax.local_device_count()}) for data-parallel sharding")
 
     params = None
     if args.pretrained:
@@ -209,10 +226,15 @@ def main(argv=None) -> int:
                                    restored.get("opt_state",
                                                 state.opt_state)))
             meta = restored.get("metadata", {})
-            start_epoch = int(meta.get("epoch", 0)) + 1
+            # a preemption save is mid-epoch: re-enter the SAME epoch and
+            # let the loader skip to the saved batch offset
+            start_epoch = int(meta.get("epoch", 0)) \
+                + (0 if meta.get("mid_epoch") else 1)
             if "loader" in meta:
                 loader.restore(json.loads(meta["loader"]))
-            print(f"resumed from step {step} (epoch {start_epoch})")
+            print(f"resumed from step {step} (epoch {start_epoch}"
+                  + (f", batch {loader.state()['batch']}"
+                     if meta.get("mid_epoch") else "") + ")")
 
     step_fn = make_train_step(model, tx, cfg, mesh=mesh)
     eval_fn = make_eval_metrics_step(model, cfg, mesh=mesh) if val_loader \
@@ -226,6 +248,8 @@ def main(argv=None) -> int:
     history = []
     for epoch in range(start_epoch, args.epochs):
         loader.epoch = epoch
+        # >0 only on a mid-epoch (preemption) resume; __iter__ consumes it
+        skip = loader.state()["batch"]
         t0 = time.perf_counter()
         epoch_loss, nsteps = 0.0, 0
         for batch in loader:
@@ -244,6 +268,21 @@ def main(argv=None) -> int:
                 print(f"e{epoch} s{int(state.step)} "
                       + " ".join(f"{k}={float(v):.4f}"
                                  for k, v in metrics.items()))
+            if preempt.is_set():
+                break
+        if preempt.is_set():
+            if is_main:
+                path = ckpt.save_train_state(
+                    args.out_dir, int(state.step), state.params,
+                    state.opt_state,
+                    metadata={"epoch": epoch, "regime": args.regime,
+                              "mid_epoch": True,
+                              "loader": json.dumps(
+                                  {"epoch": epoch, "batch": skip + nsteps,
+                                   "seed": loader.seed})})
+                print(f"preempted: saved {path} (epoch {epoch}, "
+                      f"batch {skip + nsteps}/{len(loader)})")
+            return 0
         dt = time.perf_counter() - t0
         mean_loss = epoch_loss / max(nsteps, 1)
         ips = nsteps * args.batch / max(dt, 1e-9)

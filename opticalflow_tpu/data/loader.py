@@ -63,6 +63,13 @@ def process_shard(dataset, process_id: int, process_count: int) -> Subset:
     return Subset(dataset, idx)
 
 
+class _ProducerError:
+    """Envelope carrying a prefetch-thread exception to the consumer."""
+
+    def __init__(self, err: BaseException):
+        self.err = err
+
+
 def _collate(samples):
     out = {}
     for key in samples[0]:
@@ -135,33 +142,53 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: if the consumer abandoned the iterator the
+            # queue may stay full forever — don't strand the thread on it
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(start, nb):
-                    if stop.is_set():
-                        return
-                    lo = b * self.batch_size
-                    ids = order[lo:lo + self.batch_size]
-                    samples = list(pool.map(
-                        lambda i: self._fetch(i, epoch), ids))
-                    batch = _collate(samples)
-                    if self.device_put:
-                        import jax
-                        if self.sharding is not None and \
-                                jax.process_count() > 1:
-                            # multi-host: this process's batch is the local
-                            # slice of the global batch (device_put cannot
-                            # reach non-addressable devices)
-                            put = lambda v: \
-                                jax.make_array_from_process_local_data(
-                                    self.sharding, v)
-                        else:
-                            put = lambda v: jax.device_put(v, self.sharding)
-                        batch = {
-                            k: (put(v) if isinstance(v, np.ndarray) else v)
-                            for k, v in batch.items()}
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(start, nb):
+                        if stop.is_set():
+                            return
+                        lo = b * self.batch_size
+                        ids = order[lo:lo + self.batch_size]
+                        samples = list(pool.map(
+                            lambda i: self._fetch(i, epoch), ids))
+                        batch = _collate(samples)
+                        if self.device_put:
+                            import jax
+                            if self.sharding is not None and \
+                                    jax.process_count() > 1:
+                                # multi-host: this process's batch is the
+                                # local slice of the global batch
+                                # (device_put cannot reach non-addressable
+                                # devices)
+                                put_fn = lambda v: \
+                                    jax.make_array_from_process_local_data(
+                                        self.sharding, v)
+                            else:
+                                put_fn = lambda v: \
+                                    jax.device_put(v, self.sharding)
+                            batch = {
+                                k: (put_fn(v) if isinstance(v, np.ndarray)
+                                    else v)
+                                for k, v in batch.items()}
+                        if not put(batch):
+                            return
+                q.put(None)
+            except BaseException as e:   # fetch/collate/device_put fault
+                # a dead producer must not strand the consumer on q.get()
+                # forever — hand the exception over to be re-raised
+                put(_ProducerError(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -170,6 +197,8 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise batch.err
                 self._start_batch += 1
                 yield batch
         finally:

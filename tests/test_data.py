@@ -1,6 +1,7 @@
 """Dataset + loader tests on synthetic fixtures."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -134,3 +135,52 @@ def test_reduced_affine_transforms_vectors():
                         a[1, 0] * fu + a[1, 1] * fv], axis=-1)
     c, s = np.cos(np.deg2rad(30)), np.sin(np.deg2rad(30))
     np.testing.assert_allclose(rotated[32, 32], [c, s], atol=1e-5)
+
+
+def test_loader_propagates_producer_errors():
+    """A fetch/collate/device_put fault in the prefetch thread must raise
+    in the consumer, not strand it on q.get() forever (found via a
+    non-divisible sharded batch hanging the training CLI)."""
+    from opticalflow_tpu.data.loader import Loader
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise RuntimeError("fetch exploded")
+            import numpy as np
+            return {"images": np.zeros((8, 8, 6), np.float32)}
+
+    loader = Loader(Boom(), batch_size=2, num_workers=1, shuffle=False,
+                    device_put=False)
+    with pytest.raises(RuntimeError, match="fetch exploded"):
+        for _ in loader:
+            pass
+
+
+def test_loader_abandoned_iterator_unblocks_producer():
+    """Breaking out of iteration must not leave the producer thread
+    blocked on a full queue forever."""
+    import threading
+
+    from opticalflow_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            import numpy as np
+            return {"images": np.zeros((4, 4, 6), np.float32)}
+
+    n0 = threading.active_count()
+    loader = Loader(DS(), batch_size=2, num_workers=1, shuffle=False,
+                    device_put=False, prefetch=1)
+    for _ in loader:
+        break  # abandon with the queue full
+    deadline = time.time() + 10
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0, "producer thread leaked"

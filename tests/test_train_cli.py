@@ -54,3 +54,62 @@ def test_train_cli_one_epoch(tmp_path):
              and os.path.isdir(os.path.join(out, n))]
     assert ckpts, os.listdir(out)
     assert os.path.isfile(os.path.join(out, "loss_curve.png"))
+
+
+@pytest.mark.slow
+def test_train_cli_preemption_saves_and_resumes(tmp_path):
+    """SIGTERM mid-epoch must save a resumable checkpoint (with the loader
+    position) and exit 0; --resume must re-enter the SAME epoch at the
+    saved batch so no step is lost or repeated (managed TPU slices get a
+    SIGTERM + grace window before eviction)."""
+    import signal
+    import threading
+    import time
+
+    from opticalflow_tpu.cli.train import main
+
+    root = str(tmp_path / "kitti")
+    out = str(tmp_path / "run")
+    os.makedirs(root)
+    _synth_kitti(root, n_images=65)  # 64 pairs -> 8 batches/epoch at B=8
+
+    argv = ["--regime", "multiscale", "--data-root", root,
+            "--out-dir", out, "--epochs", "2", "--batch", "8",
+            "--crop", "64", "64", "--workers", "2", "--log-every", "1",
+            "--seed", "0", "--save-every", "100"]
+
+    log = os.path.join(out, "metrics.jsonl")
+
+    def preempt_after_first_step():
+        for _ in range(12000):  # <= 10 min: first step waits on compile
+            try:
+                if os.path.getsize(log) > 0:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                    return
+            except OSError:
+                pass
+            time.sleep(0.05)
+
+    t = threading.Thread(target=preempt_after_first_step, daemon=True)
+    t.start()
+    try:
+        assert main(argv) == 0
+        t.join(timeout=60)
+
+        steps = [json.loads(l)["step"] for l in open(log) if "step" in l]
+        assert steps, "no steps ran before preemption"
+        preempted_at = max(steps)
+        assert preempted_at < 16, "preemption raced past the whole run"
+
+        ckpts = sorted(n for n in os.listdir(out) if n.startswith("step_"))
+        assert ckpts, os.listdir(out)
+
+        # resume: must continue, not restart -- final step count is exactly
+        # epochs * batches_per_epoch (a restarted epoch would overshoot)
+        assert main(argv + ["--resume"]) == 0
+        steps = [json.loads(l)["step"] for l in open(log) if "step" in l]
+        assert max(steps) == 16, (preempted_at, sorted(set(steps)))
+        assert sorted(set(steps)) == list(range(1, 17)), "steps lost/repeated"
+        assert os.path.isfile(os.path.join(out, "loss_curve.png"))
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
