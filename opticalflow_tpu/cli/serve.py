@@ -50,15 +50,10 @@ def main(argv=None) -> int:
     server = FlowServer(engine, max_batch=args.max_batch,
                         max_delay_ms=args.max_delay_ms, preset=args.preset)
     if args.warmup:
-        import numpy as np
         h, w = (int(v) for v in args.warmup.split("x"))
-        # compile the exact program requests will hit: the padded-batch u8
-        # pipeline at this frame shape (both size modes)
-        z = np.zeros((h, w, 3), np.uint8)
-        for size_mode in ("resize", "pad"):
-            engine.flow_from_pairs([z] * args.max_batch,
-                                   [z] * args.max_batch,
-                                   preset=args.preset, size_mode=size_mode)
+        # compile the exact programs requests will hit: the padded-batch u8
+        # pipelines at this frame shape (both size modes)
+        engine.warmup(h, w, batch=args.max_batch, preset=args.preset)
         print(f"warmed up batch={args.max_batch} at {h}x{w} (both size modes)")
     httpd = make_http_server(server, args.host, args.port)
 

@@ -239,6 +239,7 @@ def main(argv=None) -> int:
     step_fn = make_train_step(model, tx, cfg, mesh=mesh)
     eval_fn = make_eval_metrics_step(model, cfg, mesh=mesh) if val_loader \
         else None
+    eval_fn_single = None      # lazy: compiled only if a ragged batch occurs
     plateau = PlateauController(cfg)
     state = meshlib.replicate(state, mesh)
     log_path = os.path.join(args.out_dir, "metrics.jsonl")
@@ -297,13 +298,23 @@ def main(argv=None) -> int:
                 if args.regime == "epipolar":
                     vbatch = _attach_epipolar(model, state, vbatch, args,
                                               epi_keys)
-                if vbatch["images"].shape[0] % mesh.devices.size == 0:
+                n = vbatch["images"].shape[0]
+                if n % mesh.devices.size == 0:
                     vbatch = meshlib.shard_batch(vbatch, mesh)
-                vm = eval_fn(state.params, vbatch)
-                vals.append({k: float(v) for k, v in vm.items()})
+                    vm = eval_fn(state.params, vbatch)
+                else:
+                    # ragged final batch (drop_last=False keeps every val
+                    # sample): the sharded eval program would fail to
+                    # split it across devices — run it single-device
+                    if eval_fn_single is None:
+                        eval_fn_single = make_eval_metrics_step(model, cfg)
+                    vm = eval_fn_single(state.params, vbatch)
+                vals.append(({k: float(v) for k, v in vm.items()}, n))
             if not vals:
                 continue
-            agg = {k: sum(v[k] for v in vals) / len(vals) for k in vals[0]}
+            total = sum(n for _, n in vals)   # sample-weighted, not
+            agg = {k: sum(v[k] * n for v, n in vals) / total   # batch-mean
+                   for k in vals[0][0]}
             key_metric = agg.get("epe", agg["loss"])
             print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
             with open(log_path, "a") as f:
@@ -343,12 +354,21 @@ def _attach_epipolar(model, state, batch, args, keys):
 
     images = jnp.asarray(batch["images"])
     h, w = images.shape[1:3]
-    flow2 = model.apply({"params": state.params}, images) * args.flow_scale
+    # jit the forward (cached per model instance): eager flax dispatch on a
+    # relay-attached TPU costs minutes of per-op round trips (CLAUDE.md)
+    cached = getattr(_attach_epipolar, "_fwd", None)
+    if cached is None or cached[0] is not model:
+        fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        _attach_epipolar._fwd = cached = (model, fn)
+    flow2 = cached[1](state.params, images) * args.flow_scale
     full = _flow_to_image_res(flow2, h, w)
-    kidx = int(jax.random.randint(keys[0], (), 0, len(keys)))
+    # a fresh key window per step (step-derived so a preemption resume
+    # replays the same masks); never slices past the end of the table
+    b = full.shape[0]
+    kidx = (int(state.step) * b) % max(1, len(keys) - b)
     masks, fs = jax.vmap(lambda f, k: epipolar_mask_and_f(
         f, k, tau=args.epi_tau, stride=args.epi_stride))(
-            full, keys[kidx:kidx + full.shape[0]])
+            full, keys[kidx:kidx + b])
     batch = dict(batch)
     batch["photo_mask"] = np.asarray(masks.astype(jnp.float32))
     batch["fundamental"] = np.asarray(fs.astype(jnp.float32))

@@ -108,6 +108,11 @@ class FlowEngine:
             # script_pwc.py:76-81) → vector rescale by the /64 distortion.
             # A single dispatch per batch — per-call overhead is ~30 ms on
             # relay-attached hosts, so fusing pre/net/post halves it.
+            # cv2 parity boundary: jax.image.resize antialiases when
+            # DOWNsampling, which only happens if a frame side is < 16 px
+            # (quarter of the /64 ceiling exceeds the original) — a
+            # degenerate input; every realistic size is an upsample here,
+            # where linear/half-pixel matches cv2 exactly.
             q = quarter_flow_u8(params, xu8, preset)
             b = q.shape[0]
             flow = jax.image.resize(q, (b, height, width, 2), method="linear")
@@ -212,7 +217,21 @@ class FlowEngine:
             return np.asarray(full[:, :h, :w])
         raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
 
-    def warmup(self, height: int, width: int, batch: int = 1) -> None:
-        """Pre-compile for a given padded input size."""
-        x = jnp.zeros((batch, height, width, 6), jnp.float32)
+    def warmup(self, height: int, width: int, batch: int = 1,
+               size_modes=("resize", "pad"),
+               preset: str = "bgr_unit") -> None:
+        """Pre-compile the programs :meth:`flow_from_pairs` will actually
+        run for ``batch`` frames of this ORIGINAL (pre-/64) size — the
+        fused u8 preprocess/forward/upsample pipelines, one per size mode —
+        plus the float32 quarter-flow program used by
+        :meth:`flow_from_batch`.  (Compiling only the latter, as this
+        method once did, left the first real request to pay the full
+        serving-path compile.)"""
+        z = np.zeros((height, width, 3), np.uint8)
+        for mode in size_modes:
+            self.flow_from_pairs([z] * batch, [z] * batch, preset=preset,
+                                 size_mode=mode)
+        h64 = -(-height // 64) * 64
+        w64 = -(-width // 64) * 64
+        x = jnp.zeros((batch, h64, w64, 6), jnp.float32)
         jax.block_until_ready(self._quarter_flow(self.params, x))

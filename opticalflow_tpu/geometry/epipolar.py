@@ -157,8 +157,11 @@ def epipolar_mask_and_f(flow: jax.Array, key: jax.Array, *, tau: float = 1.0,
 
     thr = jnp.minimum(jnp.float32(tau), jnp.quantile(d, keep_ratio))
     keep = d <= thr
-    # relax when coverage < min_keep
-    thr_relaxed = jnp.minimum(jnp.float32(tau), jnp.quantile(d, min_keep))
+    # relax when coverage < min_keep: the relaxed threshold must NOT be
+    # re-clamped by tau — coverage can only fall below min_keep when
+    # tau < quantile(d, min_keep), so min(tau, .) would reproduce the
+    # original mask and starve the photometric loss
+    thr_relaxed = jnp.quantile(d, min_keep)
     keep = jnp.where(jnp.mean(keep) < min_keep, d <= thr_relaxed, keep)
     # RANSAC failure → keep everything
     keep = jnp.where(count < min_samples, jnp.ones_like(keep), keep)

@@ -105,3 +105,22 @@ def test_flow_to_pairs_shapes():
     x1, x2 = flow_to_pairs(flow, stride=8)
     assert x1.shape == (4 * 6, 3) and x2.shape == (4 * 6, 3)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_epipolar_mask_relaxes_to_min_keep_coverage():
+    """When tau sits below the min_keep quantile of the Sampson map, the
+    mask must relax to ~min_keep coverage rather than starving the
+    photometric loss (the relaxed threshold must not be re-clamped by tau,
+    which would reproduce the original mask; reference fallback
+    train_fundamental.py:258-325)."""
+    h, w = 48, 64
+    rng = np.random.RandomState(3)
+    # incoherent flow -> RANSAC fits SOME F but the Sampson residuals are
+    # broadly large, so a tiny tau keeps (almost) nothing without the relax
+    flow = rng.randn(h, w, 2).astype(np.float32) * 6.0
+    mask = np.asarray(build_epipolar_mask(
+        jnp.asarray(flow), jax.random.PRNGKey(0), tau=1e-9, stride=4,
+        keep_ratio=0.2, min_keep=0.05, iters=64))
+    # either the RANSAC-failure fallback fired (all True) or the relaxation
+    # guaranteed ~min_keep coverage; both are >= min_keep by construction
+    assert mask.mean() >= 0.05 * 0.9, mask.mean()

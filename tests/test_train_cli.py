@@ -38,17 +38,20 @@ def test_train_cli_one_epoch(tmp_path):
     root = str(tmp_path / "kitti")
     out = str(tmp_path / "run")
     os.makedirs(root)
-    _synth_kitti(root)
+    _synth_kitti(root, n_images=12)  # 11 pairs: val split ragged vs 8 devices
 
     rc = main(["--regime", "multiscale", "--data-root", root,
                "--out-dir", out, "--epochs", "1", "--batch", "8",
                "--crop", "64", "64", "--workers", "2", "--log-every", "1",
-               "--seed", "0"])
+               "--seed", "0", "--val-frac", "0.2"])
     assert rc == 0
 
     with open(os.path.join(out, "metrics.jsonl")) as f:
         recs = [json.loads(line) for line in f]
-    assert recs and all(np.isfinite(r["loss"]) for r in recs)
+    assert recs and all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
+    # the val split (2 samples) is not divisible by the 8-device mesh:
+    # the ragged batch must run single-device, not crash the epoch
+    assert any("val" in r for r in recs), recs
 
     ckpts = [n for n in os.listdir(out) if n.startswith("step_")
              and os.path.isdir(os.path.join(out, n))]
