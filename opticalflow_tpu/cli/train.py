@@ -146,10 +146,12 @@ def main(argv=None) -> int:
     mesh = meshlib.make_mesh()
     print(f"devices: {jax.device_count()} | mesh: {dict(mesh.shape)} | "
           f"regime: {args.regime}")
-    if args.batch % jax.local_device_count():
+    if args.batch % jax.device_count():
+        # the global batch shards over the full 'data' axis (all devices,
+        # across hosts) — a late make_array/device_put error otherwise
         raise SystemExit(
-            f"--batch {args.batch} must be divisible by the local device "
-            f"count ({jax.local_device_count()}) for data-parallel sharding")
+            f"--batch {args.batch} must be divisible by the device "
+            f"count ({jax.device_count()}) for data-parallel sharding")
 
     params = None
     if args.pretrained:
@@ -273,24 +275,31 @@ def main(argv=None) -> int:
                 break
         if preempt.is_set():
             if is_main:
+                # preemption on the epoch's last batch completed the epoch:
+                # save as end-of-epoch or the resume would re-enter it,
+                # run zero steps, and log a bogus zero-loss epoch
+                done = skip + nsteps
+                full = done >= len(loader)
                 path = ckpt.save_train_state(
                     args.out_dir, int(state.step), state.params,
                     state.opt_state,
                     metadata={"epoch": epoch, "regime": args.regime,
-                              "mid_epoch": True,
+                              "mid_epoch": not full,
                               "loader": json.dumps(
-                                  {"epoch": epoch, "batch": skip + nsteps,
+                                  {"epoch": epoch + 1 if full else epoch,
+                                   "batch": 0 if full else done,
                                    "seed": loader.seed})})
                 print(f"preempted: saved {path} (epoch {epoch}, "
-                      f"batch {skip + nsteps}/{len(loader)})")
+                      f"batch {done}/{len(loader)})")
             return 0
         dt = time.perf_counter() - t0
-        mean_loss = epoch_loss / max(nsteps, 1)
-        ips = nsteps * args.batch / max(dt, 1e-9)
-        if is_main:
-            print(f"epoch {epoch}: loss={mean_loss:.4f} "
-                  f"({ips:.1f} samples/s, {dt:.1f}s)")
-        history.append((epoch, mean_loss))
+        if nsteps:   # a zero-step epoch has no meaningful loss to log
+            mean_loss = epoch_loss / nsteps
+            ips = nsteps * args.batch / max(dt, 1e-9)
+            if is_main:
+                print(f"epoch {epoch}: loss={mean_loss:.4f} "
+                      f"({ips:.1f} samples/s, {dt:.1f}s)")
+            history.append((epoch, mean_loss))
 
         if val_loader is not None:
             vals = []

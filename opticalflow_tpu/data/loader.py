@@ -184,7 +184,7 @@ class Loader:
                                 for k, v in batch.items()}
                         if not put(batch):
                             return
-                q.put(None)
+                put(None)   # stop-aware: the consumer may have left already
             except BaseException as e:   # fetch/collate/device_put fault
                 # a dead producer must not strand the consumer on q.get()
                 # forever — hand the exception over to be re-raised

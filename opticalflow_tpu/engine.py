@@ -218,20 +218,22 @@ class FlowEngine:
         raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
 
     def warmup(self, height: int, width: int, batch: int = 1,
-               size_modes=("resize", "pad"),
-               preset: str = "bgr_unit") -> None:
+               size_modes=("resize", "pad"), preset: str = "bgr_unit",
+               quarter: bool = False) -> None:
         """Pre-compile the programs :meth:`flow_from_pairs` will actually
         run for ``batch`` frames of this ORIGINAL (pre-/64) size — the
-        fused u8 preprocess/forward/upsample pipelines, one per size mode —
-        plus the float32 quarter-flow program used by
-        :meth:`flow_from_batch`.  (Compiling only the latter, as this
-        method once did, left the first real request to pay the full
-        serving-path compile.)"""
+        fused u8 preprocess/forward/upsample pipelines, one per size mode.
+        (Compiling only the float32 quarter-flow program, as this method
+        once did, left the first real request to pay the full serving-path
+        compile.)  ``quarter=True`` additionally compiles that float32
+        program for :meth:`flow_from_batch` callers — each full-model
+        compile is minutes on a cold cache, so it is opt-in."""
         z = np.zeros((height, width, 3), np.uint8)
         for mode in size_modes:
             self.flow_from_pairs([z] * batch, [z] * batch, preset=preset,
                                  size_mode=mode)
-        h64 = -(-height // 64) * 64
-        w64 = -(-width // 64) * 64
-        x = jnp.zeros((batch, h64, w64, 6), jnp.float32)
-        jax.block_until_ready(self._quarter_flow(self.params, x))
+        if quarter:
+            h64 = -(-height // 64) * 64
+            w64 = -(-width // 64) * 64
+            x = jnp.zeros((batch, h64, w64, 6), jnp.float32)
+            jax.block_until_ready(self._quarter_flow(self.params, x))

@@ -179,8 +179,26 @@ def test_loader_abandoned_iterator_unblocks_producer():
     loader = Loader(DS(), batch_size=2, num_workers=1, shuffle=False,
                     device_put=False, prefetch=1)
     for _ in loader:
-        break  # abandon with the queue full
+        break  # abandon with the queue full (producer mid-batches)
     deadline = time.time() + 10
     while threading.active_count() > n0 and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n0, "producer thread leaked"
+
+    class Tiny(DS):
+        def __len__(self):
+            return 4  # 2 batches: after one consume the producer has
+                      # queued everything and blocks on the final put(None)
+
+    # abandon when the producer has ALREADY queued everything and is
+    # blocked on the end-of-data sentinel — that put must be stop-aware too
+    loader = Loader(Tiny(), batch_size=2, num_workers=1, shuffle=False,
+                    device_put=False, prefetch=1)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.3)   # let the producer fill the queue and hit put(None)
+    it.close()
+    deadline = time.time() + 10
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0, "sentinel put stranded producer"
