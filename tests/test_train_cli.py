@@ -114,5 +114,23 @@ def test_train_cli_preemption_saves_and_resumes(tmp_path):
         assert max(steps) == 16, (preempted_at, sorted(set(steps)))
         assert sorted(set(steps)) == list(range(1, 17)), "steps lost/repeated"
         assert os.path.isfile(os.path.join(out, "loss_curve.png"))
+
+        # exact-resume determinism: the preempted+resumed trajectory must be
+        # BIT-IDENTICAL to an uninterrupted run (deterministic loader order,
+        # per-(seed, epoch) augmentation, saved opt state) — jit caches are
+        # warm in-process, so this is cheap
+        from opticalflow_tpu.train import checkpoints as ckpt
+        import jax
+        out2 = str(tmp_path / "run_uninterrupted")
+        argv2 = [a if a != out else out2 for a in argv]
+        assert main(argv2) == 0
+        a = ckpt.restore_train_state(os.path.join(out, "step_16"))
+        b = ckpt.restore_train_state(os.path.join(out2, "step_16"))
+        pa = jax.tree_util.tree_leaves_with_path(a["params"])
+        lb = jax.tree.leaves(b["params"])
+        assert len(pa) == len(lb)
+        mism = [jax.tree_util.keystr(p) for (p, x), y in zip(pa, lb)
+                if not np.array_equal(np.asarray(x), np.asarray(y))]
+        assert not mism, f"resume diverged from uninterrupted run: {mism[:3]}"
     finally:
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
