@@ -79,6 +79,11 @@ def build_parser():
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--save-every", type=int, default=1, metavar="EPOCHS")
     p.add_argument("--log-every", type=int, default=10, metavar="STEPS")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write train/val scalars as TensorBoard events "
+                        "under <out-dir>/tb (the reference installs "
+                        "tensorboardX in its Dockerfile:24 but never wires "
+                        "it up; JSONL metrics are always written)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -245,6 +250,7 @@ def main(argv=None) -> int:
     plateau = PlateauController(cfg)
     state = meshlib.replicate(state, mesh)
     log_path = os.path.join(args.out_dir, "metrics.jsonl")
+    tb = _open_tensorboard(args, is_main)
     epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
 
     best_metric = float("inf")
@@ -268,6 +274,8 @@ def main(argv=None) -> int:
                        **{k: float(v) for k, v in metrics.items()}}
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                if tb:
+                    tb.scalars("train", metrics, int(state.step))
                 print(f"e{epoch} s{int(state.step)} "
                       + " ".join(f"{k}={float(v):.4f}"
                                  for k, v in metrics.items()))
@@ -291,6 +299,8 @@ def main(argv=None) -> int:
                                    "seed": loader.seed})})
                 print(f"preempted: saved {path} (epoch {epoch}, "
                       f"batch {done}/{len(loader)})")
+            if tb:
+                tb.close()
             return 0
         dt = time.perf_counter() - t0
         if nsteps:   # a zero-step epoch has no meaningful loss to log
@@ -299,6 +309,9 @@ def main(argv=None) -> int:
             if is_main:
                 print(f"epoch {epoch}: loss={mean_loss:.4f} "
                       f"({ips:.1f} samples/s, {dt:.1f}s)")
+                if tb:
+                    tb.scalars("epoch", {"loss": mean_loss,
+                                         "samples_per_sec": ips}, epoch)
             history.append((epoch, mean_loss))
 
         if val_loader is not None:
@@ -326,6 +339,8 @@ def main(argv=None) -> int:
                    for k in vals[0][0]}
             key_metric = agg.get("epe", agg["loss"])
             print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+            if tb:
+                tb.scalars("val", agg, epoch)
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, "val": agg}) + "\n")
             state = plateau.step(state, key_metric)
@@ -349,7 +364,35 @@ def main(argv=None) -> int:
             print(f"saved {path}")
     if is_main:
         _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
+    if tb:
+        tb.close()
     return 0
+
+
+class _TBWriter:
+    """Thin tensorboardX scalar writer (main process only)."""
+
+    def __init__(self, logdir):
+        from tensorboardX import SummaryWriter  # optional dependency
+        self._w = SummaryWriter(logdir)
+
+    def scalars(self, prefix, metrics, step):
+        for k, v in metrics.items():
+            self._w.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def close(self):
+        self._w.flush()
+        self._w.close()
+
+
+def _open_tensorboard(args, is_main):
+    if not (args.tensorboard and is_main):
+        return None
+    try:
+        return _TBWriter(os.path.join(args.out_dir, "tb"))
+    except ImportError as e:  # optional: JSONL metrics are always written
+        print(f"--tensorboard disabled (tensorboardX unavailable: {e})")
+        return None
 
 
 def _attach_epipolar(model, state, batch, args, keys):

@@ -43,7 +43,7 @@ def test_train_cli_one_epoch(tmp_path):
     rc = main(["--regime", "multiscale", "--data-root", root,
                "--out-dir", out, "--epochs", "1", "--batch", "8",
                "--crop", "64", "64", "--workers", "2", "--log-every", "1",
-               "--seed", "0", "--val-frac", "0.2"])
+               "--seed", "0", "--val-frac", "0.2", "--tensorboard"])
     assert rc == 0
 
     with open(os.path.join(out, "metrics.jsonl")) as f:
@@ -57,6 +57,12 @@ def test_train_cli_one_epoch(tmp_path):
              and os.path.isdir(os.path.join(out, n))]
     assert ckpts, os.listdir(out)
     assert os.path.isfile(os.path.join(out, "loss_curve.png"))
+
+    # --tensorboard: train/epoch/val scalars land in an events file
+    tb_dir = os.path.join(out, "tb")
+    events = [n for n in os.listdir(tb_dir) if "tfevents" in n]
+    assert events, os.listdir(tb_dir)
+    assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
 
 
 @pytest.mark.slow
