@@ -25,6 +25,17 @@ def build_parser():
                         "bgr_unit for the canonical weights")
     p.add_argument("--flow-scale", type=float, default=1.0,
                    help="1.0 for GT-space checkpoints, 20.0 for canonical")
+    p.add_argument("--size-mode", default="pad",
+                   choices=("pad", "pad_ref", "resize", "resize_fixed"),
+                   help="pad = corrected v2 pipeline (default); pad_ref = "
+                        "the reference's exact inference_kitti.py order; "
+                        "resize_fixed = the v1 inference.py driver "
+                        "(needs --image-size)")
+    p.add_argument("--image-size", type=int, nargs=2, metavar=("H", "W"),
+                   default=None,
+                   help="fixed /64 input size for --size-mode resize_fixed "
+                        "(the v1 driver's transforms.Resize, default there "
+                        "384 1280 — inference.py:296-310)")
     p.add_argument("--save-dir", default=None,
                    help="optionally dump predicted flows as KITTI PNGs")
     p.add_argument("--batch", type=int, default=8,
@@ -44,8 +55,12 @@ def main(argv=None) -> int:
     model = PWCDCNet(variant=args.variant)
     params = load_params(args.ckpt, variant=args.variant)
     engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    if args.size_mode == "resize_fixed" and args.image_size is None:
+        args.image_size = [384, 1280]   # the v1 driver's default
     res = evaluate_kitti(engine, args.root, year=args.year,
                          flow_kind=args.flow_kind, preset=args.preset,
+                         size_mode=args.size_mode,
+                         image_size=args.image_size,
                          batch=args.batch, save_dir=args.save_dir,
                          limit=args.limit)
     return 0 if res["num_pairs"] else 1

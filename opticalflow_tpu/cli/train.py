@@ -251,121 +251,123 @@ def main(argv=None) -> int:
     state = meshlib.replicate(state, mesh)
     log_path = os.path.join(args.out_dir, "metrics.jsonl")
     tb = _open_tensorboard(args, is_main)
-    epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
+    # close (flush) the tb writer on every exit path — normal
+    # return, preemption, and loader/step exceptions alike
+    try:
+        epi_keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 1 << 16)
 
-    best_metric = float("inf")
-    history = []
-    for epoch in range(start_epoch, args.epochs):
-        loader.epoch = epoch
-        # >0 only on a mid-epoch (preemption) resume; __iter__ consumes it
-        skip = loader.state()["batch"]
-        t0 = time.perf_counter()
-        epoch_loss, nsteps = 0.0, 0
-        for batch in loader:
-            if args.regime == "epipolar":
-                batch = _attach_epipolar(model, state, batch, args, epi_keys)
-                batch = meshlib.shard_batch(batch, mesh)
-            state, metrics = step_fn(state, batch)
-            nsteps += 1
-            loss = float(metrics["loss"])
-            epoch_loss += loss
-            if nsteps % args.log_every == 0 and is_main:
-                rec = {"epoch": epoch, "step": int(state.step),
-                       **{k: float(v) for k, v in metrics.items()}}
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
-                if tb:
-                    tb.scalars("train", metrics, int(state.step))
-                print(f"e{epoch} s{int(state.step)} "
-                      + " ".join(f"{k}={float(v):.4f}"
-                                 for k, v in metrics.items()))
-            if preempt.is_set():
-                break
-        if preempt.is_set():
-            if is_main:
-                # preemption on the epoch's last batch completed the epoch:
-                # save as end-of-epoch or the resume would re-enter it,
-                # run zero steps, and log a bogus zero-loss epoch
-                done = skip + nsteps
-                full = done >= len(loader)
-                path = ckpt.save_train_state(
-                    args.out_dir, int(state.step), state.params,
-                    state.opt_state,
-                    metadata={"epoch": epoch, "regime": args.regime,
-                              "mid_epoch": not full,
-                              "loader": json.dumps(
-                                  {"epoch": epoch + 1 if full else epoch,
-                                   "batch": 0 if full else done,
-                                   "seed": loader.seed})})
-                print(f"preempted: saved {path} (epoch {epoch}, "
-                      f"batch {done}/{len(loader)})")
-            if tb:
-                tb.close()
-            return 0
-        dt = time.perf_counter() - t0
-        if nsteps:   # a zero-step epoch has no meaningful loss to log
-            mean_loss = epoch_loss / nsteps
-            ips = nsteps * args.batch / max(dt, 1e-9)
-            if is_main:
-                print(f"epoch {epoch}: loss={mean_loss:.4f} "
-                      f"({ips:.1f} samples/s, {dt:.1f}s)")
-                if tb:
-                    tb.scalars("epoch", {"loss": mean_loss,
-                                         "samples_per_sec": ips}, epoch)
-            history.append((epoch, mean_loss))
-
-        if val_loader is not None:
-            vals = []
-            for vbatch in val_loader:
+        best_metric = float("inf")
+        history = []
+        for epoch in range(start_epoch, args.epochs):
+            loader.epoch = epoch
+            # >0 only on a mid-epoch (preemption) resume; __iter__ consumes it
+            skip = loader.state()["batch"]
+            t0 = time.perf_counter()
+            epoch_loss, nsteps = 0.0, 0
+            for batch in loader:
                 if args.regime == "epipolar":
-                    vbatch = _attach_epipolar(model, state, vbatch, args,
-                                              epi_keys)
-                n = vbatch["images"].shape[0]
-                if n % mesh.devices.size == 0:
-                    vbatch = meshlib.shard_batch(vbatch, mesh)
-                    vm = eval_fn(state.params, vbatch)
-                else:
-                    # ragged final batch (drop_last=False keeps every val
-                    # sample): the sharded eval program would fail to
-                    # split it across devices — run it single-device
-                    if eval_fn_single is None:
-                        eval_fn_single = make_eval_metrics_step(model, cfg)
-                    vm = eval_fn_single(state.params, vbatch)
-                vals.append(({k: float(v) for k, v in vm.items()}, n))
-            if not vals:
-                continue
-            total = sum(n for _, n in vals)   # sample-weighted, not
-            agg = {k: sum(v[k] * n for v, n in vals) / total   # batch-mean
-                   for k in vals[0][0]}
-            key_metric = agg.get("epe", agg["loss"])
-            print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
-            if tb:
-                tb.scalars("val", agg, epoch)
-            with open(log_path, "a") as f:
-                f.write(json.dumps({"epoch": epoch, "val": agg}) + "\n")
-            state = plateau.step(state, key_metric)
-            if key_metric < best_metric:
-                best_metric = key_metric
-                path = ckpt.save_train_state(
-                    os.path.join(args.out_dir, "best"), int(state.step),
-                    state.params, state.opt_state,
-                    metadata={"epoch": epoch, "metric": key_metric,
-                              "regime": args.regime})
-                print(f"best model saved ({key_metric:.4f}) -> {path}")
+                    batch = _attach_epipolar(model, state, batch, args, epi_keys)
+                    batch = meshlib.shard_batch(batch, mesh)
+                state, metrics = step_fn(state, batch)
+                nsteps += 1
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                if nsteps % args.log_every == 0 and is_main:
+                    rec = {"epoch": epoch, "step": int(state.step),
+                           **{k: float(v) for k, v in metrics.items()}}
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+                    if tb:
+                        tb.scalars("train", metrics, int(state.step))
+                    print(f"e{epoch} s{int(state.step)} "
+                          + " ".join(f"{k}={float(v):.4f}"
+                                     for k, v in metrics.items()))
+                if preempt.is_set():
+                    break
+            if preempt.is_set():
+                if is_main:
+                    # preemption on the epoch's last batch completed the epoch:
+                    # save as end-of-epoch or the resume would re-enter it,
+                    # run zero steps, and log a bogus zero-loss epoch
+                    done = skip + nsteps
+                    full = done >= len(loader)
+                    path = ckpt.save_train_state(
+                        args.out_dir, int(state.step), state.params,
+                        state.opt_state,
+                        metadata={"epoch": epoch, "regime": args.regime,
+                                  "mid_epoch": not full,
+                                  "loader": json.dumps(
+                                      {"epoch": epoch + 1 if full else epoch,
+                                       "batch": 0 if full else done,
+                                       "seed": loader.seed})})
+                    print(f"preempted: saved {path} (epoch {epoch}, "
+                          f"batch {done}/{len(loader)})")
+                return 0
+            dt = time.perf_counter() - t0
+            if nsteps:   # a zero-step epoch has no meaningful loss to log
+                mean_loss = epoch_loss / nsteps
+                ips = nsteps * args.batch / max(dt, 1e-9)
+                if is_main:
+                    print(f"epoch {epoch}: loss={mean_loss:.4f} "
+                          f"({ips:.1f} samples/s, {dt:.1f}s)")
+                    if tb:
+                        tb.scalars("epoch", {"loss": mean_loss,
+                                             "samples_per_sec": ips}, epoch)
+                history.append((epoch, mean_loss))
 
-        if ((epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1) \
-                and is_main:
-            # params/opt state are fully replicated, so rank 0's host copy
-            # is the global state — a host-side save needs no collective
-            path = ckpt.save_train_state(
-                args.out_dir, int(state.step), state.params, state.opt_state,
-                metadata={"epoch": epoch, "regime": args.regime,
-                          "loader": json.dumps(loader.state())})
-            print(f"saved {path}")
-    if is_main:
-        _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
-    if tb:
-        tb.close()
+            if val_loader is not None:
+                vals = []
+                for vbatch in val_loader:
+                    if args.regime == "epipolar":
+                        vbatch = _attach_epipolar(model, state, vbatch, args,
+                                                  epi_keys)
+                    n = vbatch["images"].shape[0]
+                    if n % mesh.devices.size == 0:
+                        vbatch = meshlib.shard_batch(vbatch, mesh)
+                        vm = eval_fn(state.params, vbatch)
+                    else:
+                        # ragged final batch (drop_last=False keeps every val
+                        # sample): the sharded eval program would fail to
+                        # split it across devices — run it single-device
+                        if eval_fn_single is None:
+                            eval_fn_single = make_eval_metrics_step(model, cfg)
+                        vm = eval_fn_single(state.params, vbatch)
+                    vals.append(({k: float(v) for k, v in vm.items()}, n))
+                if not vals:
+                    continue
+                total = sum(n for _, n in vals)   # sample-weighted, not
+                agg = {k: sum(v[k] * n for v, n in vals) / total   # batch-mean
+                       for k in vals[0][0]}
+                key_metric = agg.get("epe", agg["loss"])
+                print("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+                if tb:
+                    tb.scalars("val", agg, epoch)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "val": agg}) + "\n")
+                state = plateau.step(state, key_metric)
+                if key_metric < best_metric:
+                    best_metric = key_metric
+                    path = ckpt.save_train_state(
+                        os.path.join(args.out_dir, "best"), int(state.step),
+                        state.params, state.opt_state,
+                        metadata={"epoch": epoch, "metric": key_metric,
+                                  "regime": args.regime})
+                    print(f"best model saved ({key_metric:.4f}) -> {path}")
+
+            if ((epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1) \
+                    and is_main:
+                # params/opt state are fully replicated, so rank 0's host copy
+                # is the global state — a host-side save needs no collective
+                path = ckpt.save_train_state(
+                    args.out_dir, int(state.step), state.params, state.opt_state,
+                    metadata={"epoch": epoch, "regime": args.regime,
+                              "loader": json.dumps(loader.state())})
+                print(f"saved {path}")
+        if is_main:
+            _plot_history(history, os.path.join(args.out_dir, "loss_curve.png"))
+    finally:
+        if tb:
+            tb.close()
     return 0
 
 

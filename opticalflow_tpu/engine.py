@@ -124,6 +124,20 @@ class FlowEngine:
             q = quarter_flow_u8(params, xu8, preset)
             return flow_resize(q, height, width)
 
+        def full_padref_u8(params, xu8, preset, ph, pw, height, width):
+            # EXACT transcription of the reference's pad path
+            # (``inference_kitti.py:216-224``): the quarter-res flow is
+            # unpadded by the FULL-res pad counts (``unpad(flow, ph, pw)``
+            # on a (Hp/4, Wp/4) map — 4× too many rows/cols, e.g. KITTI
+            # 375×1242: 96×320 → 87×282) and then resized to the original
+            # size with an anisotropic align_corners=True vector rescale
+            # (×375/87 ≈ 4.31 instead of 4).  Numerically different from
+            # the corrected "pad" mode everywhere, kept for bit-parity
+            # with reference-computed metrics.
+            q = quarter_flow_u8(params, xu8, preset)
+            q = q[:, : q.shape[1] - ph, : q.shape[2] - pw]
+            return flow_resize(q, height, width)
+
         if mesh is not None:
             self._quarter_flow = jax.jit(
                 quarter_flow, in_shardings=(None, self._x_sharding))
@@ -134,12 +148,21 @@ class FlowEngine:
             self._full_pad_u8 = jax.jit(
                 full_pad_u8, static_argnums=(2, 3, 4),
                 in_shardings=(None, self._x_sharding))
+            self._full_padref_u8 = jax.jit(
+                full_padref_u8, static_argnums=(2, 3, 4, 5, 6),
+                in_shardings=(None, self._x_sharding))
+            self._quarter_u8 = jax.jit(
+                quarter_flow_u8, static_argnums=(2,),
+                in_shardings=(None, self._x_sharding))
         else:
             self._quarter_flow = jax.jit(quarter_flow)
             self._full_resize_u8 = jax.jit(full_resize_u8,
                                            static_argnums=(4, 5, 6))
             self._full_pad_u8 = jax.jit(full_pad_u8,
                                         static_argnums=(2, 3, 4))
+            self._full_padref_u8 = jax.jit(full_padref_u8,
+                                           static_argnums=(2, 3, 4, 5, 6))
+            self._quarter_u8 = jax.jit(quarter_flow_u8, static_argnums=(2,))
 
         @functools.partial(jax.jit,
                            static_argnames=("height", "width", "align_corners"))
@@ -163,21 +186,45 @@ class FlowEngine:
 
     def flow_from_pair(self, im1: np.ndarray, im2: np.ndarray, *,
                        preset: str = "bgr_unit",
-                       size_mode: str = "resize") -> np.ndarray:
+                       size_mode: str = "resize",
+                       image_size: Optional[Tuple[int, int]] = None
+                       ) -> np.ndarray:
         """uint8 RGB frame pair → (H, W, 2) flow at the original resolution.
 
         ``size_mode="resize"`` follows the canonical CLI
         (``script_pwc.py:47-81``): distorting resize to /64, infer, resize the
         quarter-res flow straight back to (H, W), then scale u by W/W64 and v
-        by H/H64.  ``size_mode="pad"`` follows the evaluation drivers
-        (``inference_kitti.py:208-224``): replicate-pad, infer, upsample to
-        the padded size (align_corners=True like flow_resize), crop.
+        by H/H64.
+
+        ``size_mode="pad"`` is the *corrected* evaluation-driver path:
+        replicate-pad to /64, infer, upsample the quarter-res flow to the
+        padded size (align_corners=True), crop to (H, W).  **Intentional
+        divergence from the reference** (like the topview ×4 fix,
+        ``viz/topview.py``): ``inference_kitti.py:216-224`` unpads the
+        *quarter-res* flow by the *full-res* pad counts — removing 4× too
+        many rows/cols — and then stretches what is left back over (H, W)
+        with an anisotropic vector rescale, which distorts the flow field
+        everywhere, not just at the border.  That looks like a pad-units
+        bug, so it is not the default here.
+
+        ``size_mode="pad_ref"`` reproduces the reference's order **exactly**
+        (unpad-quarter-then-rescale) for bit-parity with metrics computed by
+        ``inference_kitti.py`` itself.
+
+        ``size_mode="resize_fixed"`` follows the v1 driver
+        (``inference.py:296-324``): PIL-bilinear resize of the frames to the
+        fixed ``image_size`` (default 384×1280 there), infer, PIL-bilinear
+        resize of the quarter-res flow straight to (H, W) with vector
+        rescale (``inference.py:162-190``).  ``image_size`` must be /64.
         """
         return self.flow_from_pairs([im1], [im2], preset=preset,
-                                    size_mode=size_mode)[0]
+                                    size_mode=size_mode,
+                                    image_size=image_size)[0]
 
     def flow_from_pairs(self, im1s, im2s, *, preset: str = "bgr_unit",
-                        size_mode: str = "resize") -> np.ndarray:
+                        size_mode: str = "resize",
+                        image_size: Optional[Tuple[int, int]] = None
+                        ) -> np.ndarray:
         """Batched :meth:`flow_from_pair`: N frame pairs of ONE common
         original shape → (N, H, W, 2), through a single jitted program per
         (N, shape).  Constant-shape datasets (KITTI 1242×375, Sintel
@@ -207,19 +254,64 @@ class FlowEngine:
                 jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
                 preset, h, w)
             return np.asarray(flow)
-        if size_mode == "pad":
+        if size_mode in ("pad", "pad_ref"):
             x = np.stack([np.concatenate((a, b), axis=-1)
                           for a, b in zip(im1s, im2s)])
-            xp, _, _ = imio.pad_to_multiple_of_64(x)
+            xp, ph, pw = imio.pad_to_multiple_of_64(x)
             hp, wp = xp.shape[1:3]
+            if size_mode == "pad_ref":
+                if ph >= hp // 4 or pw >= wp // 4:
+                    raise ValueError(
+                        "pad_ref (the reference's unpad-quarter-by-full-pad "
+                        f"order) slices the quarter-res flow {hp // 4}x"
+                        f"{wp // 4} by ({ph}, {pw}) — empty result for this "
+                        "frame size; use size_mode='pad'")
+                full = self._full_padref_u8(self.params, jnp.asarray(xp),
+                                            preset, ph, pw, h, w)
+                return np.asarray(full)
             full = self._full_pad_u8(self.params, jnp.asarray(xp), preset,
                                      hp, wp)
             return np.asarray(full[:, :h, :w])
-        raise ValueError(f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
+        if size_mode == "resize_fixed":
+            return self._flow_resize_fixed(im1s, im2s, preset, image_size,
+                                           h, w)
+        raise ValueError("size_mode must be 'resize', 'pad', 'pad_ref' or "
+                         f"'resize_fixed', got {size_mode!r}")
+
+    def _flow_resize_fixed(self, im1s, im2s, preset, image_size, h, w):
+        """v1-driver semantics (``inference.py:296-324``): frames PIL-resized
+        to a fixed /64 size on host (``transforms.Resize`` acts on the PIL
+        image, so this is exact by construction), one u8 quarter-flow device
+        program, then the reference's ``resize_flow`` (``inference.py:
+        162-190``): per-channel PIL-bilinear resize of the quarter-res flow
+        straight to the original (H, W) plus W/Wq, H/Hq vector rescale."""
+        from PIL import Image
+        if image_size is None:
+            raise ValueError("size_mode='resize_fixed' needs image_size=(H, W)")
+        fh, fw = (int(v) for v in image_size)
+        if fh % 64 or fw % 64:
+            raise ValueError(
+                f"image_size must be a multiple of 64 (six stride-2 levels); "
+                f"got {(fh, fw)} — the reference crashes on non-/64 sizes")
+        def rs(im):
+            return np.asarray(Image.fromarray(im).resize((fw, fh),
+                                                         Image.BILINEAR))
+        x = np.stack([np.concatenate((rs(a), rs(b)), axis=-1)
+                      for a, b in zip(im1s, im2s)])
+        q = np.asarray(self._quarter_u8(self.params, jnp.asarray(x), preset))
+        qh, qw = q.shape[1:3]
+        out = np.empty((q.shape[0], h, w, 2), np.float32)
+        for i in range(q.shape[0]):
+            u = Image.fromarray(q[i, :, :, 0]).resize((w, h), Image.BILINEAR)
+            v = Image.fromarray(q[i, :, :, 1]).resize((w, h), Image.BILINEAR)
+            out[i, :, :, 0] = np.asarray(u) * (w / float(qw))
+            out[i, :, :, 1] = np.asarray(v) * (h / float(qh))
+        return out
 
     def warmup(self, height: int, width: int, batch: int = 1,
                size_modes=("resize", "pad"), preset: str = "bgr_unit",
-               quarter: bool = False) -> None:
+               quarter: bool = False,
+               image_size: Optional[Tuple[int, int]] = None) -> None:
         """Pre-compile the programs :meth:`flow_from_pairs` will actually
         run for ``batch`` frames of this ORIGINAL (pre-/64) size — the
         fused u8 preprocess/forward/upsample pipelines, one per size mode.
@@ -231,7 +323,7 @@ class FlowEngine:
         z = np.zeros((height, width, 3), np.uint8)
         for mode in size_modes:
             self.flow_from_pairs([z] * batch, [z] * batch, preset=preset,
-                                 size_mode=mode)
+                                 size_mode=mode, image_size=image_size)
         if quarter:
             h64 = -(-height // 64) * 64
             w64 = -(-width // 64) * 64

@@ -22,6 +22,7 @@ __all__ = ["evaluate_pairs", "evaluate_kitti", "evaluate_sintel"]
 
 def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
                    size_mode: str = "pad",
+                   image_size=None,
                    batch: int = 8,
                    save_dir: Optional[str] = None,
                    save_format: str = "kitti_png",
@@ -36,9 +37,13 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
     the reference semantics.  With a sharded engine, ``batch`` must be a
     multiple of the mesh's ``data`` axis.
 
-    ``size_mode``: "pad" replicates ``inference_kitti.py`` (v2, the better
-    pipeline); "resize" replicates the distorting-resize convention of
-    ``inference.py`` (v1) and ``script_pwc.py``.  Returns {"epe": mean,
+    ``size_mode``: "pad" is the corrected v2 pipeline (upsample-then-crop;
+    see the documented divergence in ``FlowEngine.flow_from_pair``);
+    "pad_ref" is the reference's exact ``inference_kitti.py:216-224`` order
+    (unpad-quarter-then-rescale); "resize" replicates the distorting-resize
+    convention of ``script_pwc.py``; "resize_fixed" replicates ``inference.py``
+    (v1) with its fixed ``transforms.Resize(image_size)`` input size
+    (pass ``image_size=(H, W)``, /64).  Returns {"epe": mean,
     "fl_all": mean%} (NaN-mean over pairs, like the reference).
 
     Samples STREAM through: a background thread fetches pairs into a
@@ -103,7 +108,8 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
         pad = buf + [buf[-1]] * (batch - len(buf))
         flows = engine.flow_from_pairs([s["im1"] for _, s in pad],
                                        [s["im2"] for _, s in pad],
-                                       preset=preset, size_mode=size_mode)
+                                       preset=preset, size_mode=size_mode,
+                                       image_size=image_size)
         for k, (i, s) in enumerate(buf):
             flow = np.asarray(flows[k])
             if save_dir:
@@ -178,13 +184,18 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
 
 def evaluate_kitti(engine, root: str, *, year: int = 2015,
                    flow_kind: str = "flow_occ", preset: str = "rgb_imagenet",
+                   size_mode: str = "pad",
+                   image_size=None,
                    batch: int = 8,
                    save_dir: Optional[str] = None,
                    limit: Optional[int] = None) -> Dict[str, float]:
-    """KITTI sparse-GT evaluation (1242×375, replicate-pad to /64)."""
+    """KITTI sparse-GT evaluation (1242×375, replicate-pad to /64 by
+    default; ``size_mode="pad_ref"`` for the reference's exact order,
+    ``"resize_fixed"`` + ``image_size`` for the v1 driver)."""
     from opticalflow_tpu.data.datasets import KittiPairsEval
     ds = KittiPairsEval(root, year=year, flow_kind=flow_kind)
-    return evaluate_pairs(engine, ds, preset=preset, batch=batch,
+    return evaluate_pairs(engine, ds, preset=preset, size_mode=size_mode,
+                          image_size=image_size, batch=batch,
                           save_dir=save_dir, limit=limit)
 
 

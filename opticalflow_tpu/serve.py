@@ -260,9 +260,10 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
         def _check_opts(size_mode, timeout):
             """Validate request options at parse time so client mistakes
             400 instead of surfacing as retryable 5xx from the engine."""
-            if size_mode not in ("resize", "pad"):
+            if size_mode not in ("resize", "pad", "pad_ref"):
                 raise ValueError(
-                    f"size_mode must be 'resize' or 'pad', got {size_mode!r}")
+                    "size_mode must be 'resize', 'pad' or 'pad_ref', "
+                    f"got {size_mode!r}")
             t = float(timeout)
             if not math.isfinite(t) or t <= 0:   # inf makes Event.wait raise
                 raise ValueError(f"timeout must be finite and > 0, got {t}")

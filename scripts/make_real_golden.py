@@ -65,6 +65,48 @@ def reference_pipeline(im1_rgb, im2_rgb, net):
     return np.dstack((u, v)).astype(np.float32)
 
 
+def pad_pipelines(im1_rgb, im2_rgb, net):
+    """Both pad-path orders at 180x318 (pad (12, 2) -> quarter 48x80):
+
+    * padref -- EXACT transcription of /root/reference/inference_kitti.py
+      :208-224 (v2 preproc :176-179): unpad the QUARTER-res flow by the
+      FULL-res pad counts (48x80 -> 36x78), then align_corners=True resize
+      to (H, W) with anisotropic vector rescale;
+    * pad -- the engine's corrected order (documented divergence): upsample
+      the quarter flow to the padded size, vector-rescale, crop to (H, W).
+    """
+    import torch.nn.functional as F
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+
+    def prep(im):
+        t = torch.from_numpy(im.astype(np.float32) / 255.0).permute(2, 0, 1)
+        return (t - mean) / std
+
+    x = torch.cat([prep(im1_rgb), prep(im2_rgb)], 0)[None]
+    H, W = im1_rgb.shape[:2]
+    pad_h = (64 - H % 64) % 64
+    pad_w = (64 - W % 64) % 64
+    xp = F.pad(x, (0, pad_w, 0, pad_h), mode="replicate")
+    with torch.no_grad():
+        q = net(xp, train=False)                       # (1, 2, Hp/4, Wp/4)
+
+    qr = q[..., : q.shape[-2] - pad_h, : q.shape[-1] - pad_w]
+    ref = F.interpolate(qr, size=(H, W), mode="bilinear", align_corners=True)
+    ref[:, 0] *= W / float(qr.shape[-1])
+    ref[:, 1] *= H / float(qr.shape[-2])
+
+    Hp, Wp = xp.shape[-2:]
+    fix = F.interpolate(q, size=(Hp, Wp), mode="bilinear", align_corners=True)
+    fix[:, 0] *= Wp / float(q.shape[-1])
+    fix[:, 1] *= Hp / float(q.shape[-2])
+    fix = fix[..., :H, :W]
+
+    to_np = lambda t: t[0].permute(1, 2, 0).numpy().astype(np.float32)
+    return to_np(fix), to_np(ref)
+
+
 def main():
     torch.manual_seed(0)
     net = OraclePWC(variant="new").eval()
@@ -77,6 +119,12 @@ def main():
     write_flo(os.path.join(OUT, "real_pair.flo"), flow)
     print(f"golden flow {flow.shape}, |flow| max {np.abs(flow).max():.4f}, "
           f"mean {np.abs(flow).mean():.4f}")
+    pad, padref = pad_pipelines(im1, im2, net)
+    write_flo(os.path.join(OUT, "real_pair_pad.flo"), pad)
+    write_flo(os.path.join(OUT, "real_pair_padref.flo"), padref)
+    d = np.mean(np.hypot(*(pad - padref).transpose(2, 0, 1)))
+    print(f"pad goldens {pad.shape}; corrected-vs-reference order "
+          f"mean EPE delta {d:.4f} (nonzero by design)")
 
 
 if __name__ == "__main__":

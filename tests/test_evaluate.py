@@ -13,7 +13,8 @@ class StubEngine:
         self.flow_uv = flow_uv
         self.calls = []
 
-    def flow_from_pairs(self, im1s, im2s, preset="bgr_unit", size_mode="pad"):
+    def flow_from_pairs(self, im1s, im2s, preset="bgr_unit",
+                    size_mode="pad", image_size=None):
         self.calls.append((len(im1s), im1s[0].shape, preset, size_mode))
         h, w = im1s[0].shape[:2]
         return np.tile(np.asarray(self.flow_uv, np.float32),

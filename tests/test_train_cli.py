@@ -58,11 +58,16 @@ def test_train_cli_one_epoch(tmp_path):
     assert ckpts, os.listdir(out)
     assert os.path.isfile(os.path.join(out, "loss_curve.png"))
 
-    # --tensorboard: train/epoch/val scalars land in an events file
-    tb_dir = os.path.join(out, "tb")
-    events = [n for n in os.listdir(tb_dir) if "tfevents" in n]
-    assert events, os.listdir(tb_dir)
-    assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
+    # --tensorboard: train/epoch/val scalars land in an events file.
+    # tensorboardX is an optional extra (pyproject `tensorboard`, not
+    # `test`): without it the CLI degrades to JSONL-only with a warning,
+    # so the tb assertions are gated rather than failing on listdir.
+    import importlib.util
+    if importlib.util.find_spec("tensorboardX") is not None:
+        tb_dir = os.path.join(out, "tb")
+        events = [n for n in os.listdir(tb_dir) if "tfevents" in n]
+        assert events, os.listdir(tb_dir)
+        assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
 
 
 @pytest.mark.slow
