@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--data-parallel", default="1", metavar="N|all",
+                   help="shard each dispatched batch across N chips "
+                        "(data-parallel mesh; 'all' = every visible device; "
+                        "max-batch must divide by N). Default 1 = "
+                        "single-device")
     p.add_argument("--warmup", metavar="HxW", default=None,
                    help="pre-compile for this frame size, e.g. 436x1024")
     return p
@@ -46,7 +51,21 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         precision="fast" if args.dtype == "bfloat16" else "highest")
     params = load_params(args.ckpt, variant=args.variant)
-    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    mesh = None
+    import jax
+    ndev = (len(jax.devices()) if args.data_parallel == "all"
+            else int(args.data_parallel))
+    if ndev > 1 or args.data_parallel == "all":
+        from opticalflow_tpu.parallel.mesh import make_mesh
+        if args.max_batch % ndev:
+            raise SystemExit(
+                f"--max-batch {args.max_batch} must be divisible by the "
+                f"data-parallel width {ndev} (every dispatch is padded to "
+                f"max-batch and sharded over the mesh)")
+        mesh = make_mesh(jax.devices()[:ndev])
+        print(f"data-parallel serving over {ndev} devices "
+              f"({args.max_batch // ndev} pairs/device/batch)")
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale, mesh=mesh)
     server = FlowServer(engine, max_batch=args.max_batch,
                         max_delay_ms=args.max_delay_ms, preset=args.preset)
     if args.warmup:
@@ -65,7 +84,10 @@ def main(argv=None) -> int:
         # another thread or it deadlocks inside the handler
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
-    signal.signal(signal.SIGTERM, _shutdown)
+    try:
+        signal.signal(signal.SIGTERM, _shutdown)
+    except ValueError:
+        pass   # embedded off the main thread: no signal-driven drain
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, delay={args.max_delay_ms}ms)")
     try:

@@ -87,7 +87,10 @@ class FlowServer:
     """Dynamic-batching dispatcher over a FlowEngine.
 
     Args:
-      engine: a ready :class:`~opticalflow_tpu.engine.FlowEngine`.
+      engine: a ready :class:`~opticalflow_tpu.engine.FlowEngine`.  May be
+        sharded (constructed with ``mesh=...``): every dispatch is padded
+        to ``max_batch``, so each launch is divisible by the mesh's data
+        axis and rides all chips (``cli/serve.py --data-parallel N``).
       max_batch: compiled batch size per shape bucket.  Requests are padded
         up to this, so exactly one XLA program exists per frame shape.
       max_delay_ms: how long the dispatcher waits after the first queued

@@ -330,3 +330,61 @@ def test_metrics_snapshot_during_traffic():
         assert srv.metrics.snapshot()["requests"] == 40
     finally:
         srv.close()
+
+
+@pytest.mark.slow
+def test_sharded_serving_matches_single_device():
+    """Multi-chip serving (VERDICT r3 task 2): a FlowServer over a
+    mesh-sharded engine must (a) return byte-identical results to calling
+    that same sharded engine directly (the serving layer adds zero
+    numerics), and (b) agree with single-device serving to reduction-order
+    tolerance.  Every dispatch is padded to max_batch=8, so each launch
+    divides the 8-device data axis."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.parallel import mesh as meshlib
+    from opticalflow_tpu.serve import FlowServer
+
+    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6), jnp.float32))["params"]
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    eng8 = FlowEngine(model, params, flow_scale=20.0, mesh=mesh)
+    eng1 = FlowEngine(model, params, flow_scale=20.0)
+
+    pairs = [(_img(i, h=48, w=60), _img(100 + i, h=48, w=60))
+             for i in range(5)]
+
+    srv8 = FlowServer(eng8, max_batch=8, max_delay_ms=100)
+    srv1 = FlowServer(eng1, max_batch=8, max_delay_ms=100)
+    try:
+        out8, out1 = {}, {}
+
+        def call(store, srv, i):
+            store[i] = srv.flow(*pairs[i], timeout=600)
+
+        for store, srv in ((out8, srv8), (out1, srv1)):
+            threads = [threading.Thread(target=call, args=(store, srv, i))
+                       for i in range(5)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+
+        # (a) serving layer is numerics-free: byte-equal to the direct
+        # sharded-engine call with the same padded batch
+        im1s = [p[0] for p in pairs] + [pairs[-1][0]] * 3
+        im2s = [p[1] for p in pairs] + [pairs[-1][1]] * 3
+        direct = eng8.flow_from_pairs(im1s, im2s)
+        for i in range(5):
+            np.testing.assert_array_equal(out8[i], direct[i])
+        # (b) sharded vs single-device: per-device program tiling may
+        # reorder accumulations at the 1e-5 level (see test_engine.py)
+        for i in range(5):
+            np.testing.assert_allclose(out8[i], out1[i], atol=5e-5, rtol=1e-2)
+        assert srv8.metrics.snapshot()["errors"] == 0
+    finally:
+        srv8.close()
+        srv1.close()
