@@ -28,8 +28,32 @@ __all__ = ["export_stablehlo", "load_exported", "parity_check"]
 
 def export_stablehlo(model, params, path: str,
                      input_shape: Tuple[int, ...] = (1, 256, 256, 6),
-                     flow_scale: float = 20.0) -> str:
-    """Serialize the forward (input → descaled quarter-res flow) to disk."""
+                     flow_scale: float = 20.0,
+                     dynamic: Optional[str] = None) -> str:
+    """Serialize the forward (input → descaled quarter-res flow) to disk.
+
+    ``dynamic`` mirrors the reference's dynamic ONNX axes
+    (``pth2onnx.py:77-89``, which marks batch/H/W dynamic):
+
+      * ``None`` — shape-specialized artifact at ``input_shape``;
+      * ``"batch"`` — symbolic batch axis ``(b, H, W, 6)``; one artifact
+        serves every batch size;
+      * ``"all"`` — full shape polymorphism ``(b, 64*h, 64*w, 6)``.  H and W
+        stay /64-constrained by construction (six stride-2 levels), exactly
+        like the reference model itself — the symbolic dims encode that.
+
+    Measured boundaries (probed on jax 0.9, see tests/test_export_prune.py):
+
+      * ``use_blocked_lvl1="auto"`` (the model default) resolves blocked
+        vs plain by comparing the batch to 32 at trace time — inconclusive
+        under a symbolic batch (``InconclusiveDimensionOperation``).  Build
+        the export model with ``use_blocked_lvl1=False`` (or True).
+      * ``use_pallas_corr=True`` embeds a TPU-only Mosaic custom call when
+        traced on TPU (non-portable artifact), and its VMEM-fit gate is
+        itself inconclusive under symbolic H/W.  Build the export model
+        with ``use_pallas_corr=False``; the lax correlation lowers to
+        portable StableHLO and is bit-compatible (CUDA-mean semantics).
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jex
@@ -37,8 +61,29 @@ def export_stablehlo(model, params, path: str,
     def fwd(x):
         return model.apply({"params": params}, x) * flow_scale
 
-    exported = jex.export(jax.jit(fwd))(
-        jax.ShapeDtypeStruct(input_shape, jnp.float32))
+    if dynamic is None:
+        aval = jax.ShapeDtypeStruct(input_shape, jnp.float32)
+    elif dynamic == "batch":
+        h, w = input_shape[1:3]
+        aval = jax.ShapeDtypeStruct(
+            jex.symbolic_shape(f"b, {h}, {w}, 6"), jnp.float32)
+    elif dynamic == "all":
+        aval = jax.ShapeDtypeStruct(
+            jex.symbolic_shape("b, 64*h, 64*w, 6"), jnp.float32)
+    else:
+        raise ValueError(f"dynamic must be None, 'batch' or 'all', "
+                         f"got {dynamic!r}")
+    try:
+        exported = jex.export(jax.jit(fwd))(aval)
+    except Exception as e:
+        if dynamic and "inconclusive" in str(e).lower():
+            raise ValueError(
+                "dynamic export needs a batch-independent graph: construct "
+                "the model with use_blocked_lvl1=False (and "
+                "use_pallas_corr=False for a portable artifact) — the "
+                "default 'auto' gate compares the symbolic batch to 32"
+            ) from e
+        raise
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

@@ -32,6 +32,40 @@ def test_export_round_trip_parity(tmp_path, small_model):
 
 
 @pytest.mark.slow
+def test_export_dynamic_axes(tmp_path, small_model):
+    """The reference exports ONNX with dynamic batch/H/W axes
+    (``pth2onnx.py:77-89``); one ``dynamic="all"`` artifact must serve
+    multiple batch sizes AND multiple /64 frame sizes (VERDICT r3 task 3).
+    The graph must be batch-independent: the module-scoped model already
+    uses use_pallas_corr=False, and blocked lvl1 must be off."""
+    from opticalflow_tpu.export import export_stablehlo, load_exported
+    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
+                     use_blocked_lvl1=False)
+    _, params = small_model      # same param tree, flag is graph-only
+
+    path = str(tmp_path / "dyn.stablehlo")
+    export_stablehlo(model, params, path, dynamic="all")
+    fn = load_exported(path)
+
+    def direct(x):
+        return model.apply({"params": params}, jnp.asarray(x)) * 20.0
+
+    for b, h, w in ((1, 64, 64), (3, 64, 64), (2, 128, 192)):
+        x = np.random.RandomState(b).rand(b, h, w, 6).astype(np.float32)
+        got = np.asarray(fn(jnp.asarray(x)))
+        assert got.shape == (b, h // 4, w // 4, 2)
+        np.testing.assert_allclose(got, np.asarray(direct(x)),
+                                   atol=1e-5, rtol=1e-5)
+
+    # boundary: the default batch-gated blocked lvl1 cannot trace with a
+    # symbolic batch — the error must say how to fix it
+    auto = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    with pytest.raises(ValueError, match="use_blocked_lvl1"):
+        export_stablehlo(auto, params, str(tmp_path / "x.stablehlo"),
+                         dynamic="batch")
+
+
+@pytest.mark.slow
 def test_magnitude_prune(small_model):
     _, params = small_model
     pruned = prune.magnitude_prune(params, amount=0.3)
