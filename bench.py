@@ -9,7 +9,10 @@ single scalar readback, minus the measured per-call overhead — per-call
 host-side timing is unreliable on relayed/async TPU runtimes (dispatch can
 return before completion, and per-call overhead here is ~30 ms).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+scoreboard-depth fields {"latency_ms", "batch", "mfu"} (VERDICT r3 #6) —
+the driver parser reads the first four; the extras make efficiency
+regressions visible, not just the pinned-batch throughput.
 """
 
 from __future__ import annotations
@@ -93,12 +96,38 @@ def main() -> None:
     per_step = (sum(times) / len(times) - ovh) / LOOP_N
 
     per_chip = batch / per_step / n_dev
-    print(json.dumps({
+    rec = {
         "metric": "sintel_448x1024_frame_pairs_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 3),
-    }))
+        # one dispatched batch-8 step, ms (the serving-relevant
+        # time-to-result; per-pair amortized = this / BATCH)
+        "latency_ms": round(per_step * 1e3, 3),
+        "batch": BATCH,
+    }
+    # MFU from XLA's lowering-level cost analysis (algebraic flops of the
+    # lowered forward).  The axon backend returns None from
+    # Lowered.cost_analysis() and its COMPILED-level analysis is unusable
+    # through the relay (measured 45× low), so fall back to the pinned
+    # value measured on the CPU backend for this exact default graph:
+    # 1.80522e11 flops/pair at 448×1024 (bf16-fast, B=8 blocked-auto).
+    # Re-pin alongside any default-graph change (same trigger as
+    # scripts/reseed_bench_cache.py).  Peak: v5e bf16 ≈ 197 TFLOP/s
+    # (PERF.md "headroom").
+    flops_per_step = 1.80522e11 * batch
+    try:
+        low = jax.jit(lambda x: model.apply({"params": params}, x)).lower(
+            jax.ShapeDtypeStruct((batch, H, W, 6), jnp.float32))
+        analysis = low.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        if analysis is not None and "flops" in analysis:
+            flops_per_step = float(analysis["flops"])
+    except Exception:
+        pass  # keep the pinned fallback
+    rec["mfu"] = round(flops_per_step / per_step / (197e12 * n_dev), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
