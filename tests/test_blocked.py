@@ -15,6 +15,19 @@ def _rand(shape, seed):
                        .astype(np.float32))
 
 
+def _japply(m):
+    """Jitted apply: ONE persisted-cacheable program per (model, shape)
+    instead of an eager op-by-op dispatch of the full 60-conv net (the
+    former dominant cost of this file, ~170 s/run)."""
+    return jax.jit(lambda p, x, train=False:
+                   m.apply({"params": p}, x, train=train),
+                   static_argnames="train")
+
+
+def _jinit(m, key, x):
+    return jax.jit(m.init)(key, x)["params"]
+
+
 def test_blocked_s2_matches_plain():
     """conv1a form: 3→16 stride-2 at even sizes."""
     x = _rand((2, 32, 48, 3), 0)
@@ -115,17 +128,17 @@ def test_model_blocked_lvl1_matches_unblocked():
                   use_blocked_lvl1=False)
     m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
                   use_blocked_lvl1=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    params = _jinit(m0, jax.random.PRNGKey(0), x)
+    p1 = _jinit(m1, jax.random.PRNGKey(0), x)
     assert jtu.tree_structure(params) == jtu.tree_structure(p1)
     assert all(a.shape == b.shape for a, b in
                zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
+    o0 = _japply(m0)(params, x)
+    o1 = _japply(m1)(params, x)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=1e-5, rtol=1e-4)
-    g = jax.grad(lambda p: float(0) + jnp.sum(
-        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    g = jax.jit(jax.grad(lambda p: float(0) + jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2)))(params)
     assert float(jnp.linalg.norm(g["conv1a"]["kernel"])) > 0
 
 
@@ -154,25 +167,25 @@ def test_model_piece_dense_matches_plain():
                   use_blocked_lvl1=False, use_piece_dense=False)
     m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
                   use_blocked_lvl1=False, use_piece_dense=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    params = _jinit(m0, jax.random.PRNGKey(0), x)
+    p1 = _jinit(m1, jax.random.PRNGKey(0), x)
     assert jtu.tree_structure(params) == jtu.tree_structure(p1)
     assert all(a.shape == b.shape for a, b in
                zip(jtu.tree_leaves(params), jtu.tree_leaves(p1)))
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
+    o0 = _japply(m0)(params, x)
+    o1 = _japply(m1)(params, x)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=1e-5, rtol=1e-4)
     # training branch + gradients through the sliced-kernel form
-    t0 = m0.apply({"params": params}, x, train=True)
-    t1 = m1.apply({"params": params}, x, train=True)
+    t0 = _japply(m0)(params, x, train=True)
+    t1 = _japply(m1)(params, x, train=True)
     for a, b in zip(t0, t1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=1e-4)
-    g0 = jax.grad(lambda p: jnp.sum(
-        m0.apply({"params": p}, x, train=True)[0] ** 2))(params)
-    g1 = jax.grad(lambda p: jnp.sum(
-        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    g0 = jax.jit(jax.grad(lambda p: jnp.sum(
+        m0.apply({"params": p}, x, train=True)[0] ** 2)))(params)
+    g1 = jax.jit(jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2)))(params)
     for name in ("conv2_0", "conv2_4", "predict_flow2", "dc_conv1", "conv1a"):
         np.testing.assert_allclose(np.asarray(g1[name]["kernel"]),
                                    np.asarray(g0[name]["kernel"]),
@@ -189,15 +202,15 @@ def test_fused_up_deconvs_match_plain():
                   fuse_up_deconvs=False)
     m1 = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
                   fuse_up_deconvs=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
-    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    params = _jinit(m0, jax.random.PRNGKey(0), x)
+    p1 = _jinit(m1, jax.random.PRNGKey(0), x)
     assert jtu.tree_structure(params) == jtu.tree_structure(p1)
-    o0 = m0.apply({"params": params}, x)
-    o1 = m1.apply({"params": params}, x)
+    o0 = _japply(m0)(params, x)
+    o1 = _japply(m1)(params, x)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=1e-5, rtol=1e-4)
-    g = jax.grad(lambda p: jnp.sum(
-        m1.apply({"params": p}, x, train=True)[0] ** 2))(params)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, train=True)[0] ** 2)))(params)
     for name in ("deconv3", "upfeat3", "deconv6", "upfeat6"):
         assert float(jnp.linalg.norm(g[name]["kernel"])) > 0, name
 
@@ -209,10 +222,10 @@ def test_fused_up_deconvs_old_variant():
                   fuse_up_deconvs=False)
     m1 = PWCDCNet(variant="old", precision="fast", use_pallas_corr=False,
                   fuse_up_deconvs=True)
-    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    params = _jinit(m0, jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(
-        np.asarray(m1.apply({"params": params}, x)),
-        np.asarray(m0.apply({"params": params}, x)),
+        np.asarray(_japply(m1)(params, x)),
+        np.asarray(_japply(m0)(params, x)),
         atol=1e-5, rtol=1e-4)
 
 
@@ -225,10 +238,10 @@ def test_bf16_fast_model_differentiates():
     x = _rand((1, 64, 128, 6), 70) * 0.2 + 0.5
     m = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast",
                  use_pallas_corr=False)
-    params = m.init(jax.random.PRNGKey(0), x)["params"]
-    g = jax.grad(lambda p: jnp.sum(jnp.stack(
+    params = _jinit(m, jax.random.PRNGKey(0), x)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(jnp.stack(
         [jnp.sum(f.astype(jnp.float32) ** 2)
-         for f in m.apply({"params": p}, x, train=True)])))(params)
+         for f in m.apply({"params": p}, x, train=True)]))))(params)
     for name in ("conv1a", "conv2a", "conv2_0", "predict_flow2", "dc_conv5"):
         assert float(jnp.linalg.norm(g[name]["kernel"])) > 0, name
 
@@ -240,8 +253,8 @@ def test_highest_precision_keeps_plain_path():
     # the pyramid gate: blocked only in fast mode
     assert m.precision == "highest"
     x = _rand((1, 64, 64, 6), 21)
-    params = m.init(jax.random.PRNGKey(0), x)["params"]
-    out = m.apply({"params": params}, x)
+    params = _jinit(m, jax.random.PRNGKey(0), x)
+    out = _japply(m)(params, x)
     assert out.shape == (1, 16, 16, 2)
 
 
@@ -265,7 +278,7 @@ def test_model_auto_matches_explicit_small_batch():
     auto = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
     expl = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False,
                     use_blocked_lvl1=True)
-    params = auto.init(jax.random.PRNGKey(0), x)["params"]
-    oa = auto.apply({"params": params}, x)
-    oe = expl.apply({"params": params}, x)
+    params = _jinit(auto, jax.random.PRNGKey(0), x)
+    oa = _japply(auto)(params, x)
+    oe = _japply(expl)(params, x)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(oe))

@@ -15,8 +15,8 @@ from opticalflow_tpu.utils.debugging import check_finite, nan_guard
 @pytest.fixture(scope="module")
 def setup():
     model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 6)))["params"]
     return model, params
 
 

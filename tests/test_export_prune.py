@@ -14,8 +14,8 @@ from opticalflow_tpu.utils import profiling
 @pytest.fixture(scope="module")
 def small_model():
     model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 6)))["params"]
     return model, params
 
 

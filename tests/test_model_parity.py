@@ -80,8 +80,8 @@ def test_param_count_matches_reference():
     """PWC-Net is ≈9.4M params (SURVEY.md §6)."""
     model = PWCDCNet()
     import jax
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 6)))["params"]
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     oracle = OraclePWC()
     n_ref = sum(p.numel() for k, p in oracle.named_parameters()
@@ -96,11 +96,12 @@ def test_generic_max_displacement_model():
     run with (2·2+1)² = 25 correlation channels."""
     import jax
     model = PWCDCNet(variant="new", md=2, use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 6)))["params"]
     # estimator input at L6 = nd = 25 channels
     assert params["conv6_0"]["kernel"].shape[2] == 25
-    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 6)))
+    out = jax.jit(lambda p, x: model.apply({"params": p}, x))(
+        params, jnp.zeros((1, 64, 64, 6)))
     assert out.shape == (1, 16, 16, 2)
 
 

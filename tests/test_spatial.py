@@ -11,6 +11,17 @@ from opticalflow_tpu.parallel.spatial import plan_tiles, tiled_quarter_flow
 from opticalflow_tpu.parallel import mesh as meshlib
 
 
+
+@pytest.fixture(scope="module")
+def mp():
+    """One shared (model, params) for every test in this file — the six
+    per-test eager inits were a measurable slice of the suite's compile
+    tax (jitted init rides the persistent cache)."""
+    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 6)))["params"]
+    return model, params
+
 def test_plan_tiles_geometry():
     tiles = plan_tiles(512, tile_h=256, halo=64)
     assert tiles == [(0, 320, 0, 256), (192, 512, 256, 512)]
@@ -19,14 +30,12 @@ def test_plan_tiles_geometry():
 
 
 @pytest.mark.slow
-def test_tiled_matches_monolithic():
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+def test_tiled_matches_monolithic(mp):
+    model, params = mp
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 256, 64, 6).astype(np.float32))
 
-    mono = model.apply({"params": params}, x)
+    mono = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(params, x)
     tiled = tiled_quarter_flow(model, params, x, tile_h=128, halo=64)
     assert tiled.shape == mono.shape
     diff = np.abs(np.asarray(tiled) - np.asarray(mono))
@@ -41,10 +50,8 @@ def test_tiled_matches_monolithic():
 
 
 @pytest.mark.slow
-def test_tiled_with_mesh():
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+def test_tiled_with_mesh(mp):
+    model, params = mp
     x = jnp.asarray(np.random.RandomState(1).rand(2, 256, 64, 6)
                     .astype(np.float32))
     mesh = meshlib.make_mesh(jax.devices()[:4])
@@ -54,48 +61,42 @@ def test_tiled_with_mesh():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_tiled_with_mesh_rejects_indivisible_tile_batch():
+def test_tiled_with_mesh_rejects_indivisible_tile_batch(mp):
     """VERDICT r1 weak #5: no silent unsharded fallback."""
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    model, params = mp
     x = jnp.zeros((1, 192, 64, 6), jnp.float32)  # 2 tiles x batch 1 = 2
     mesh = meshlib.make_mesh(jax.devices()[:4])
     with pytest.raises(ValueError, match="not divisible"):
         tiled_quarter_flow(model, params, x, tile_h=128, halo=64, mesh=mesh)
 
 
-def test_halo_exchange_two_devices_exact():
+def test_halo_exchange_two_devices_exact(mp):
     """With 2 devices and slab = 2·halo each device's slid window covers the
     whole image — the sharded result must equal the monolithic one."""
     from opticalflow_tpu.parallel.spatial import halo_exchange_quarter_flow
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    model, params = mp
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 256, 64, 6).astype(np.float32))
     mesh = meshlib.make_mesh(jax.devices()[:2], axis_name="space")
-    mono = model.apply({"params": params}, x)
+    mono = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(params, x)
     out = halo_exchange_quarter_flow(model, params, x, halo=64, mesh=mesh)
     assert out.shape == mono.shape == (1, 64, 16, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-5)
 
 
 @pytest.mark.slow
-def test_halo_exchange_matches_monolithic():
+def test_halo_exchange_matches_monolithic(mp):
     """shard_map + ppermute H-sharding over 4 devices: seam accuracy bounds
     vs the monolithic forward (same approximation class as recompute tiling;
     borders are exact by construction — the edge windows slide to the true
     image border).  Measured: median 5.7e-3, mean 1.4e-2, borders ≤3.4e-3."""
     from opticalflow_tpu.parallel.spatial import halo_exchange_quarter_flow
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    model, params = mp
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 512, 64, 6).astype(np.float32))
     mesh = meshlib.make_mesh(jax.devices()[:4], axis_name="space")
 
-    mono = model.apply({"params": params}, x)
+    mono = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(params, x)
     out = halo_exchange_quarter_flow(model, params, x, halo=64, mesh=mesh)
     assert out.shape == mono.shape == (1, 128, 16, 2)
     diff = np.abs(np.asarray(out) - np.asarray(mono))
@@ -106,11 +107,9 @@ def test_halo_exchange_matches_monolithic():
     assert diff[:, -8:].mean() < 1e-2
 
 
-def test_halo_exchange_validates_geometry():
+def test_halo_exchange_validates_geometry(mp):
     from opticalflow_tpu.parallel.spatial import halo_exchange_quarter_flow
-    model = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, 6)))["params"]
+    model, params = mp
     mesh = meshlib.make_mesh(jax.devices()[:4], axis_name="space")
     with pytest.raises(ValueError, match="slabs"):
         halo_exchange_quarter_flow(

@@ -174,21 +174,31 @@ def test_plateau_controller_requires_injected_lr():
         pc.step(state, 1.0)
 
 
-@pytest.mark.parametrize("remat", [True, "l2"])
-def test_remat_variants_match_no_remat_grads(tiny_model, remat):
-    """Full and selective (L2-groups-only) remat are pure memory/time
-    trades: the gradients must be bit-comparable to the no-remat step."""
+@pytest.fixture(scope="module")
+def no_remat_grads(tiny_model):
+    """No-remat reference gradients, computed ONCE for both remat params
+    (jitted: one persisted-cacheable program instead of an eager op-by-op
+    backward — the former top suite cost, 187 s + 81 s)."""
     from opticalflow_tpu.train.trainer import _compute_loss
     cfg0 = TrainConfig(loss="multiscale")
-    cfgr = dataclasses.replace(cfg0, remat=remat)
     state, _ = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg0)
     batch = {k: jnp.asarray(v) for k, v in _batch().items()}
 
     def grads(cfg):
-        g = jax.grad(lambda p: _compute_loss(tiny_model, p, batch, cfg)[0])(
-            state.params)
+        g = jax.jit(jax.grad(
+            lambda p: _compute_loss(tiny_model, p, batch, cfg)[0]))(
+                state.params)
         return jax.tree.map(np.asarray, g)
 
-    g0, gr = grads(cfg0), grads(cfgr)
+    return grads, grads(cfg0)
+
+
+@pytest.mark.parametrize("remat", [True, "l2"])
+def test_remat_variants_match_no_remat_grads(no_remat_grads, remat):
+    """Full and selective (L2-groups-only) remat are pure memory/time
+    trades: the gradients must be bit-comparable to the no-remat step."""
+    grads, g0 = no_remat_grads
+    gr = grads(dataclasses.replace(TrainConfig(loss="multiscale"),
+                                   remat=remat))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
                  g0, gr)
