@@ -39,6 +39,11 @@ def build_parser():
                    help="arrows/vanish: ship the full quarter-res flow "
                         "instead of the device-decimated arrow grid "
                         "(debugging aid; ~16x more D2H)")
+    p.add_argument("--upload", choices=("bgr", "i420"), default="bgr",
+                   help="i420: upload planar YUV 4:2:0 windows (half the "
+                        "H2D bytes, decoded on device bit-exactly to cv2); "
+                        "only approximation is the 4:2:0 chroma subsample "
+                        "mp4/h264 sources already carry")
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
                    default="bfloat16")
     p.add_argument("--complexity", action="store_true",
@@ -86,7 +91,7 @@ def main(argv=None) -> int:
              and not args.no_decimate else None)
     runner = VideoFlowRunner(model, params, preset=args.preset,
                              flow_scale=args.flow_scale, batch=args.batch,
-                             grid_step=gstep)
+                             grid_step=gstep, upload=args.upload)
 
     cap = cv2.VideoCapture(args.video)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0

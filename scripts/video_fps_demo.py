@@ -26,6 +26,7 @@ W = int(sys.argv[1]) if len(sys.argv) > 1 else 320
 H = int(sys.argv[2]) if len(sys.argv) > 2 else 192
 N_FRAMES = int(sys.argv[3]) if len(sys.argv) > 3 else 120
 BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+UPLOAD = sys.argv[5] if len(sys.argv) > 5 else "bgr"
 CLIP = f"/tmp/demo_{W}x{H}.mp4"
 CKPT = "/tmp/demo_fake_pwc.pth.tar"
 
@@ -156,7 +157,8 @@ def main():
     r = subprocess.run(
         [sys.executable, "-m", "opticalflow_tpu.cli.extract_video",
          CLIP, f"/tmp/demo_out_{W}x{H}.mp4", "--ckpt", CKPT,
-         "--mode", "arrows", "--batch", str(BATCH), "--flow-scale", "20"],
+         "--mode", "arrows", "--batch", str(BATCH), "--flow-scale", "20",
+         "--upload", UPLOAD],
         capture_output=True, text=True, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
     wall = time.perf_counter() - t0
