@@ -20,6 +20,11 @@ def build_parser():
     p.add_argument("--batch", type=int, default=8,
                    help="pairs per jitted program (multiple of the mesh "
                         "data axis when sharded)")
+    p.add_argument("--dispatch-chunk", type=int, default=None,
+                   help="run batches as lax.map over sub-chunks of this "
+                        "size inside one program; 8 keeps the peak XLA "
+                        "schedule at any multiple-of-8 --batch (PERF.md "
+                        "batch-cliff sweep)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -33,7 +38,8 @@ def main(argv=None) -> int:
 
     model = PWCDCNet(variant=args.variant)
     params = load_params(args.ckpt, variant=args.variant)
-    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale,
+                        dispatch_chunk=args.dispatch_chunk)
     res = evaluate_sintel(engine, args.root, render=args.render,
                           preset=args.preset, batch=args.batch,
                           save_dir=args.save_dir, limit=args.limit)

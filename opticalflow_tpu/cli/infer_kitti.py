@@ -41,6 +41,11 @@ def build_parser():
     p.add_argument("--batch", type=int, default=8,
                    help="pairs per jitted program (multiple of the mesh "
                         "data axis when sharded)")
+    p.add_argument("--dispatch-chunk", type=int, default=None,
+                   help="run batches as lax.map over sub-chunks of this "
+                        "size inside one program; 8 keeps the peak XLA "
+                        "schedule at any multiple-of-8 --batch (PERF.md "
+                        "batch-cliff sweep)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -54,7 +59,8 @@ def main(argv=None) -> int:
 
     model = PWCDCNet(variant=args.variant)
     params = load_params(args.ckpt, variant=args.variant)
-    engine = FlowEngine(model, params, flow_scale=args.flow_scale)
+    engine = FlowEngine(model, params, flow_scale=args.flow_scale,
+                        dispatch_chunk=args.dispatch_chunk)
     if args.size_mode == "resize_fixed" and args.image_size is None:
         args.image_size = [384, 1280]   # the v1 driver's default
     res = evaluate_kitti(engine, args.root, year=args.year,

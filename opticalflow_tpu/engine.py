@@ -61,14 +61,37 @@ class FlowEngine:
         (``train.py:71-72``) and need 1.0.
       mesh: optional ``jax.sharding.Mesh`` with a "data" axis for multi-chip
         data-parallel inference (batch must divide the axis size).
+      dispatch_chunk: optional sub-batch size.  When set, any forward over a
+        batch larger than (and divisible by) it runs as ``lax.map`` over
+        B/chunk sub-batches *inside* the same jitted program.  XLA's
+        schedule for this model peaks sharply at batch 8 (329 pairs/s/chip
+        vs 226–298 at B=10..64, OOM at B≥96 — PERF.md round-3 sweep);
+        ``dispatch_chunk=8`` keeps that peak schedule at any multiple-of-8
+        batch and flattens the memory knee (measured: B=32 chunked matches
+        the B=8 peak within noise).  Batches not divisible by the chunk
+        fall back to the monolithic program.  Single-chip lever: mutually
+        exclusive with ``mesh`` (there the data axis already splits the
+        batch per chip).
     """
 
     def __init__(self, model: PWCDCNet, params, *,
                  flow_scale: float = FLOW_SCALE,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 dispatch_chunk: Optional[int] = None):
         self.model = model
         self.flow_scale = float(flow_scale)
         self.mesh = mesh
+        if dispatch_chunk is not None:
+            dispatch_chunk = int(dispatch_chunk)
+            if dispatch_chunk < 1:
+                raise ValueError(
+                    f"dispatch_chunk must be >= 1, got {dispatch_chunk}")
+            if mesh is not None:
+                raise ValueError(
+                    "dispatch_chunk is a single-chip scheduling lever; with "
+                    "a mesh the data axis already splits each batch — use "
+                    "one or the other")
+        self.dispatch_chunk = dispatch_chunk
         self._x_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -77,9 +100,23 @@ class FlowEngine:
         self.params = jax.tree.map(jnp.asarray, params)
 
         scale = self.flow_scale
+        chunk = self.dispatch_chunk
+
+        def _chunked(fn, x):
+            # lax.map over B/chunk sub-batches: one compiled body at the
+            # peak-schedule chunk size, sequenced on device (no host
+            # round-trips between chunks, memory stays flat at the chunk's
+            # working set).  Trace-time decision — `chunk` is static.
+            b = x.shape[0]
+            if not chunk or b <= chunk or b % chunk:
+                return fn(x)
+            xs = x.reshape(b // chunk, chunk, *x.shape[1:])
+            out = jax.lax.map(fn, xs)
+            return out.reshape(b, *out.shape[2:])
 
         def quarter_flow(params, x):
-            return model.apply({"params": params}, x) * scale
+            return _chunked(
+                lambda s: model.apply({"params": params}, s), x) * scale
 
         def quarter_flow_u8(params, xu8, preset):
             # uint8 (B, H64, W64, 6) in, preprocessing on device: the host
@@ -89,17 +126,23 @@ class FlowEngine:
             # on CPU (tests/test_real_golden.py); on TPU the compiler may
             # strength-reduce /255 to a reciprocal multiply (≤1 ULP,
             # measured mean EPE delta 1.6e-9 on the canonical CLI).
-            x = xu8.astype(jnp.float32) / 255.0
-            if preset == "bgr_unit":
-                x = x[..., jnp.array([2, 1, 0, 5, 4, 3])]
-            elif preset == "rgb_imagenet":
-                mean = jnp.tile(jnp.asarray(imio._IMAGENET_MEAN), 2)
-                std = jnp.tile(jnp.asarray(imio._IMAGENET_STD), 2)
-                x = (x - mean) / std
-            elif preset != "rgb_unit":
-                raise ValueError(f"unknown preprocessing preset {preset!r}; "
-                                 f"choose from {imio.PREPROC_PRESETS}")
-            return model.apply({"params": params}, x) * scale
+            def one(xu8c):
+                x = xu8c.astype(jnp.float32) / 255.0
+                if preset == "bgr_unit":
+                    x = x[..., jnp.array([2, 1, 0, 5, 4, 3])]
+                elif preset == "rgb_imagenet":
+                    mean = jnp.tile(jnp.asarray(imio._IMAGENET_MEAN), 2)
+                    std = jnp.tile(jnp.asarray(imio._IMAGENET_STD), 2)
+                    x = (x - mean) / std
+                elif preset != "rgb_unit":
+                    raise ValueError(
+                        f"unknown preprocessing preset {preset!r}; "
+                        f"choose from {imio.PREPROC_PRESETS}")
+                return model.apply({"params": params}, x)
+
+            # preprocess chunks with the forward so the f32 working set
+            # never exceeds one chunk
+            return _chunked(one, xu8) * scale
 
         def full_resize_u8(params, xu8, hscale, wscale, preset, height,
                            width):

@@ -114,6 +114,40 @@ def test_flow_from_pairs_validates_frame_dtype(setup):
                               im2.astype(np.int32), size_mode="pad")
 
 
+def test_dispatch_chunk_matches_monolithic(setup):
+    """lax.map chunked dispatch must reproduce the monolithic batch (the
+    batch-cliff fix: the B=8 peak schedule at any multiple-of-8 batch)."""
+    model, params = setup
+    eng_mono = FlowEngine(model, params, flow_scale=20.0)
+    eng_chunk = FlowEngine(model, params, flow_scale=20.0, dispatch_chunk=2)
+    pairs = [_frames(64, 96, seed=s) for s in range(4)]
+    im1s, im2s = [p[0] for p in pairs], [p[1] for p in pairs]
+    for mode in ("resize", "pad"):
+        a = eng_chunk.flow_from_pairs(im1s, im2s, size_mode=mode)
+        b = eng_mono.flow_from_pairs(im1s, im2s, size_mode=mode)
+        # conv accumulation order differs between the B=2 body and the
+        # monolithic B=4 program at the 1e-5 level; that's XLA tiling
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+    # indivisible batch falls back to the monolithic program
+    c = eng_chunk.flow_from_pairs(im1s[:3], im2s[:3], size_mode="pad")
+    np.testing.assert_allclose(
+        c, eng_mono.flow_from_pairs(im1s[:3], im2s[:3], size_mode="pad"))
+    # float32 quarter path chunks too
+    x = np.random.RandomState(3).rand(4, 64, 64, 6).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(eng_chunk.flow_from_batch(x)),
+                               np.asarray(eng_mono.flow_from_batch(x)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dispatch_chunk_validation(setup):
+    model, params = setup
+    with pytest.raises(ValueError, match=">= 1"):
+        FlowEngine(model, params, dispatch_chunk=0)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="single-chip"):
+        FlowEngine(model, params, mesh=mesh, dispatch_chunk=8)
+
+
 def test_flow_from_pairs_rejects_mixed_shapes(setup):
     model, params = setup
     engine = FlowEngine(model, params)
