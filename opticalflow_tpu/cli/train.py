@@ -60,6 +60,12 @@ def build_parser():
     p.add_argument("--variant", choices=("new", "old"), default="new")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (f32 flow heads/optimizer)")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="split each batch into K micro-batches inside the "
+                        "jitted step (lax.scan), average grads, one "
+                        "optimizer update — K× effective batch at the "
+                        "memory of batch/K (the other large-batch knob "
+                        "besides --remat)")
     p.add_argument("--remat", nargs="?", const="full", default="off",
                    choices=("off", "full", "l2"),
                    help="rematerialization policy: 'l2' recomputes only the "
@@ -143,7 +149,8 @@ def main(argv=None) -> int:
         lambda_photo=args.lambda_photo, lambda_smooth=args.lambda_smooth,
         epi_soft_weight=args.epi_soft_w if args.regime == "epipolar" else 0.0,
         flow_scale=args.flow_scale,
-        remat={"off": False, "full": True, "l2": "l2"}[args.remat])
+        remat={"off": False, "full": True, "l2": "l2"}[args.remat],
+        grad_accum=args.grad_accum)
 
     model = PWCDCNet(variant=args.variant,
                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

@@ -70,6 +70,14 @@ class TrainConfig:
     # partials and context chain, the largest activations by far) from
     # their saved inputs — much cheaper than a full re-forward.
     remat: Any = False          # False | True | "l2"
+    # gradient accumulation: split each batch into this many micro-batches
+    # (lax.scan inside ONE jitted step), average the grads, apply one
+    # optimizer update.  Large effective batches at the memory footprint of
+    # B/grad_accum — the other large-batch knob besides remat.  Reported
+    # metrics are micro-batch means (standard accumulation semantics: for
+    # valid-mask-normalized losses this weights micro-batches equally, not
+    # by valid-pixel count).
+    grad_accum: int = 1
 
 
 class TrainState(struct.PyTreeNode):
@@ -214,12 +222,45 @@ def make_train_step(model, tx: optax.GradientTransformation,
     is donated (in-place update, no HBM copy).
     """
 
-    def step(state: TrainState, batch: Dict[str, jax.Array]):
-        def loss_fn(p):
-            return _compute_loss(model, p, batch, cfg)
+    accum = max(1, int(cfg.grad_accum))
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+    def grads_of(params, b):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: _compute_loss(model, p, b, cfg), has_aux=True)(params)
+        return grads, metrics
+
+    def grads_and_metrics(params, batch):
+        if accum == 1:
+            return grads_of(params, batch)
+        b0 = jax.tree.leaves(batch)[0].shape[0]
+        if b0 % accum:
+            raise ValueError(
+                f"batch size {b0} not divisible by grad_accum={accum}")
+        micro = jax.tree.map(
+            lambda a: a.reshape(accum, b0 // accum, *a.shape[1:]), batch)
+        if mesh is not None:
+            # keep micro-batches sharded over the data axis (now axis 1)
+            from jax.sharding import NamedSharding, PartitionSpec
+            micro = jax.lax.with_sharding_constraint(
+                micro, NamedSharding(mesh, PartitionSpec(None, "data")))
+        g_shp, m_shp = jax.eval_shape(
+            grads_of, params, jax.tree.map(lambda a: a[0], micro))
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             (g_shp, m_shp))
+
+        def body(carry, mb):
+            g, m = grads_of(params, mb)
+            gacc, macc = carry
+            return (jax.tree.map(jnp.add, gacc, g),
+                    jax.tree.map(jnp.add, macc, m)), None
+
+        (gacc, macc), _ = jax.lax.scan(body, zeros, micro)
+        inv = 1.0 / accum
+        return (jax.tree.map(lambda g: g * inv, gacc),
+                jax.tree.map(lambda m: m * inv, macc))
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        grads, metrics = grads_and_metrics(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -4,7 +4,7 @@ Mirrors the reference's fine-tune regime (train2.py: multiscale Charbonnier,
 AdamW, grad-clip) at the KITTI crop the reference trains with (320×896,
 ``train.py:112-118``). Chained-loop timing like bench.py.
 
-    python scripts/bench_train.py [batch]
+    python scripts/bench_train.py [batch] [remat] [grad_accum]
 """
 
 import json
@@ -31,9 +31,10 @@ def main():
     # argv[2]: remat mode — 0 (off), 1 (full forward), or "l2" (selective)
     raw = sys.argv[2] if len(sys.argv) > 2 else "0"
     remat = raw if raw == "l2" else bool(int(raw))
+    accum = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     model = PWCDCNet(variant="new", dtype=jnp.bfloat16, precision="fast")
     cfg = TrainConfig(loss="multiscale", optimizer="adamw", lr=1e-4,
-                      remat=remat)
+                      remat=remat, grad_accum=accum)
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg,
                                    sample_shape=(1, 64, 64, 6))
     step = make_train_step(model, tx, cfg)
@@ -75,7 +76,7 @@ def main():
 
     print(json.dumps({
         "metric": f"train_step_{H}x{W}_pairs_per_sec_per_chip",
-        "batch": batch, "remat": str(remat),
+        "batch": batch, "remat": str(remat), "grad_accum": accum,
         "ms_per_step": round(per_step * 1000, 2),
         "pairs_per_sec": round(batch / per_step, 2),
     }))

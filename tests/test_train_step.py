@@ -95,6 +95,58 @@ def test_sharded_step_matches_single_device(tiny_model):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_grad_accum_matches_full_batch(tiny_model):
+    """grad_accum=K (lax.scan of micro-batches) must produce the same
+    update as the monolithic batch: for batch-mean losses the average of
+    micro-grads IS the full-batch grad.  valid=ones keeps the mask
+    normalization uniform across micro-batches so equality is exact up to
+    accumulation order.  SGD(1.0) makes the params delta literally the
+    gradient — an Adam comparison would amplify the ~1e-7 conv-retiling
+    noise between the B/K and B programs wherever grads are near zero."""
+    import optax as _optax
+
+    cfg = TrainConfig(loss="multiscale")
+    batch = _batch(b=4)
+    batch["valid"] = np.ones_like(batch["valid"])
+    state0, _ = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    tx = _optax.sgd(1.0)
+
+    def run(cfg_k):
+        # fresh buffers per run: the step donates its state argument
+        params = jax.tree.map(jnp.array, state0.params)
+        st = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                        opt_state=tx.init(params))
+        return make_train_step(tiny_model, tx, cfg_k)(st, batch)
+
+    s1, m1 = run(cfg)
+    s2, m2 = run(dataclasses.replace(cfg, grad_accum=2))
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    # indivisible batch fails loudly at trace time
+    with pytest.raises(ValueError, match="not divisible by grad_accum"):
+        run(dataclasses.replace(cfg, grad_accum=3))
+
+
+@pytest.mark.slow
+def test_grad_accum_sharded_runs(tiny_model):
+    """grad_accum composes with the data-parallel mesh: micro-batches stay
+    sharded over the data axis (axis 1 after the accumulation reshape)."""
+    mesh = meshlib.make_mesh(jax.devices()[:4])
+    cfg = TrainConfig(loss="multiscale", grad_accum=2)
+    state, tx = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(tiny_model, tx, cfg, mesh=mesh)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    batch = _batch(b=8)           # 2 micro-batches of 4 over 4 devices
+    state, m = step(state, meshlib.shard_batch(batch, mesh))
+    assert int(state.step) == 1
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["grad_norm"]))
+
+
 def test_eval_metrics_step(tiny_model):
     cfg = TrainConfig(loss="multiscale")
     state, _ = create_train_state(tiny_model, jax.random.PRNGKey(0), cfg)
