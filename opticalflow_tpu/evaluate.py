@@ -35,7 +35,10 @@ def evaluate_pairs(engine, dataset, *, preset: str = "bgr_unit",
     (batch, shape), with the final partial chunk padded to the compiled batch
     size (its extra outputs discarded).  Per-pair metrics are unchanged from
     the reference semantics.  With a sharded engine, ``batch`` must be a
-    multiple of the mesh's ``data`` axis.
+    multiple of the mesh's ``data`` axis.  For ``batch`` > 8 build the
+    engine with ``dispatch_chunk=8`` — XLA's schedule peaks sharply at
+    batch 8 and the chunked program keeps that peak at any multiple of 8
+    (PERF.md "Chunked dispatch").
 
     ``size_mode``: "pad" is the corrected v2 pipeline (upsample-then-crop;
     see the documented divergence in ``FlowEngine.flow_from_pair``);
