@@ -101,10 +101,13 @@ def main() -> None:
         "value": round(per_chip, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 3),
-        # one dispatched batch-8 step, ms (the serving-relevant
-        # time-to-result; per-pair amortized = this / BATCH)
+        # one dispatched step, ms (the serving-relevant time-to-result;
+        # per-pair amortized = this / batch).  batch is the ACTUAL timed
+        # batch (BATCH per device × n_dev) so latency_ms/batch stays
+        # consistent on multi-device hosts.
         "latency_ms": round(per_step * 1e3, 3),
-        "batch": BATCH,
+        "batch": batch,
+        "n_dev": n_dev,
     }
     # MFU from XLA's lowering-level cost analysis (algebraic flops of the
     # lowered forward).  The axon backend returns None from

@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "single-device")
     p.add_argument("--warmup", metavar="HxW", default=None,
                    help="pre-compile for this frame size, e.g. 436x1024")
+    p.add_argument("--warmup-modes", default="resize,pad",
+                   help="comma-separated size modes --warmup compiles "
+                        "(default resize,pad). Add pad_ref if clients will "
+                        "request it — an unwarmed mode's first request "
+                        "holds the dispatch thread through a cold "
+                        "full-model compile (minutes)")
     return p
 
 
@@ -57,6 +63,13 @@ def main(argv=None) -> int:
             else int(args.data_parallel))
     if ndev > 1 or args.data_parallel == "all":
         from opticalflow_tpu.parallel.mesh import make_mesh
+        if ndev > len(jax.devices()):
+            # make_mesh(jax.devices()[:ndev]) would silently truncate, and
+            # then every padded max-batch dispatch fails inside the sharded
+            # jit (max_batch checked against the REQUESTED width below)
+            raise SystemExit(
+                f"--data-parallel {ndev} exceeds the {len(jax.devices())} "
+                f"visible devices; pass 'all' to use every device")
         if args.max_batch % ndev:
             raise SystemExit(
                 f"--max-batch {args.max_batch} must be divisible by the "
@@ -70,10 +83,13 @@ def main(argv=None) -> int:
                         max_delay_ms=args.max_delay_ms, preset=args.preset)
     if args.warmup:
         h, w = (int(v) for v in args.warmup.split("x"))
+        modes = tuple(m.strip() for m in args.warmup_modes.split(",") if m)
         # compile the exact programs requests will hit: the padded-batch u8
-        # pipelines at this frame shape (both size modes)
-        engine.warmup(h, w, batch=args.max_batch, preset=args.preset)
-        print(f"warmed up batch={args.max_batch} at {h}x{w} (both size modes)")
+        # pipelines at this frame shape, one per size mode
+        engine.warmup(h, w, batch=args.max_batch, preset=args.preset,
+                      size_modes=modes)
+        print(f"warmed up batch={args.max_batch} at {h}x{w} "
+              f"(modes: {', '.join(modes)})")
     httpd = make_http_server(server, args.host, args.port)
 
     import signal

@@ -344,6 +344,18 @@ def make_http_server(server: FlowServer, host: str = "127.0.0.1",
                 if im1.shape != im2.shape:
                     raise ValueError(
                         f"frame shapes differ: {im1.shape} vs {im2.shape}")
+                if size_mode == "pad_ref":
+                    # the engine raises for frames where the reference's
+                    # unpad-quarter-by-full-pad order empties the flow;
+                    # that's a client mistake, so 400 here instead of a
+                    # retryable 500 out of the dispatch thread
+                    h, w = im1.shape[:2]
+                    hp, wp = -(-h // 64) * 64, -(-w // 64) * 64
+                    if (hp - h) >= hp // 4 or (wp - w) >= wp // 4:
+                        raise ValueError(
+                            "size_mode='pad_ref' produces an empty flow "
+                            f"for {h}x{w} frames (unpad-quarter-by-full-"
+                            "pad, see MIGRATION.md); use size_mode='pad'")
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return

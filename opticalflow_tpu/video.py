@@ -53,8 +53,13 @@ def yuv_i420_to_rgb_u8(yuv: jnp.ndarray) -> jnp.ndarray:
     b, h32, w = yuv.shape
     h = h32 * 2 // 3
     y = jnp.maximum(yuv[:, :h].astype(jnp.int32) - 16, 0) * 1220542
-    u = yuv[:, h:h + h // 4].reshape(b, h // 2, w // 2).astype(jnp.int32) - 128
-    v = yuv[:, h + h // 4:].reshape(b, h // 2, w // 2).astype(jnp.int32) - 128
+    # the chroma region packs U then V contiguously; when h % 4 != 0 the
+    # U/V boundary falls mid-row, so slice by ELEMENT count, not rows
+    # (h=70: U is 17.5 rows of w — a row slice would crash the reshape)
+    ce = (h // 2) * (w // 2)
+    chroma = yuv[:, h:].reshape(b, 2 * ce)
+    u = chroma[:, :ce].reshape(b, h // 2, w // 2).astype(jnp.int32) - 128
+    v = chroma[:, ce:].reshape(b, h // 2, w // 2).astype(jnp.int32) - 128
     u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
     v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
     half = 1 << 19

@@ -30,9 +30,13 @@ def _frames(n, h, w, seed=0):
     return fr
 
 
-def test_device_i420_kernel_bit_exact_vs_cv2():
+@pytest.mark.parametrize("h,w", [(64, 128), (70, 64), (94, 130)])
+def test_device_i420_kernel_bit_exact_vs_cv2(h, w):
+    """Includes h % 4 != 0 heights (70, 94): the U/V boundary falls
+    mid-row there, so the kernel must slice the chroma region by element
+    count (a row slice crashed on every even-but-not-/4 height)."""
     rng = np.random.RandomState(1)
-    h, w, b = 64, 128, 3
+    b = 3
     yuvs = (rng.rand(b, h * 3 // 2, w) * 255).astype(np.uint8)
     got = np.asarray(jax.jit(yuv_i420_to_rgb_u8)(jnp.asarray(yuvs)))
     for k in range(b):
