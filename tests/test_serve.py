@@ -221,6 +221,13 @@ def test_http_raw_tensor_endpoint():
                 "X-Frame-Shape": "10x14x3", **hdrs})
             resp = conn.getresponse()
             assert resp.status == 400, (hdrs, resp.read())
+        # pad_ref on a frame the reference's unpad order would empty
+        # (10x14: pad 54 >= 16 = hp/4) is a client mistake too -> 400
+        conn.request("POST", "/v1/flow", body, {
+            "Content-Type": "application/octet-stream",
+            "X-Frame-Shape": "10x14x3", "X-Size-Mode": "pad_ref"})
+        resp = conn.getresponse()
+        assert resp.status == 400 and b"pad_ref" in resp.read()
     finally:
         httpd.shutdown()
         srv.close()
