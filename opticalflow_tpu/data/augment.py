@@ -141,6 +141,12 @@ class RichAugment:
                           border=cv2.BORDER_REFLECT) > 0.5
 
         if rng.random() < 0.5:  # brightness / contrast on 0..255 range
+            # bf·cf·(x−127.5)+127.5 collapses both draws into one gain about
+            # the center — mathematically a single contrast factor.  That is
+            # the REFERENCE's own parameterization, cloned verbatim
+            # (data_processing.py:238-250: product of two U(0.8,1.2) draws,
+            # whose triangular-ish density differs from one uniform draw),
+            # so both RNG draws stay for distribution fidelity.
             bf = rng.uniform(0.8, 1.2)
             cf = rng.uniform(0.8, 1.2)
             im1 = np.clip(bf * cf * (im1 - 127.5) + 127.5, 0, 255)

@@ -234,6 +234,11 @@ class ConsecutiveFrames:
                       for i in range(0, len(self.frames) - stride)]
         if not self.index:
             raise FileNotFoundError(f"not enough frames in {source}")
+        import threading
+        self._cap = None            # cached capture: one container open per
+        self._cap_pos = -1          # dataset, sequential reads seek-free
+        self._cache: dict = {}      # last few decoded frames (pair overlap)
+        self._lock = threading.Lock()   # Loader fetches from worker threads
 
     def __len__(self):
         return len(self.index)
@@ -241,14 +246,33 @@ class ConsecutiveFrames:
     def _read(self, key):
         if self.video is None:
             return load_image(self.frames[key])
+        # One cached VideoCapture + positional bookkeeping: the old
+        # open-seek-read-release per frame cost 2N container opens per
+        # epoch and a CAP_PROP_POS_FRAMES seek decodes from the previous
+        # keyframe (a whole GOP for long-GOP H.264) — ruinous on a 1-core
+        # host where CPU competes with the compile helper.  Sequential
+        # access (pair reads, eval order) now never seeks, and the tiny
+        # frame cache serves the (i, i+s) / (i+1, i+1+s) overlap.
         import cv2
-        cap = cv2.VideoCapture(self.video)
-        cap.set(cv2.CAP_PROP_POS_FRAMES, key)
-        ok, frame = cap.read()
-        cap.release()
-        if not ok:
-            raise RuntimeError(f"failed to read frame {key} of {self.video}")
-        return frame[..., ::-1]  # BGR → RGB
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
+            if self._cap is None:
+                self._cap = cv2.VideoCapture(self.video)
+                self._cap_pos = 0
+            if key != self._cap_pos:
+                self._cap.set(cv2.CAP_PROP_POS_FRAMES, key)
+            ok, frame = self._cap.read()
+            self._cap_pos = key + 1
+            if not ok:
+                raise RuntimeError(
+                    f"failed to read frame {key} of {self.video}")
+            rgb = np.ascontiguousarray(frame[..., ::-1])  # BGR → RGB
+            self._cache[key] = rgb
+            while len(self._cache) > 4:
+                self._cache.pop(next(iter(self._cache)))
+            return rgb
 
     def __getitem__(self, idx: int):
         import cv2

@@ -137,7 +137,13 @@ class Loader:
         order = self._order(epoch)
         nb = len(self)
         start = self._start_batch
-        self._start_batch = 0  # a restored offset applies to one epoch only
+        # _start_batch keeps counting from the (possibly restored) offset as
+        # batches are consumed, so state() always reports the ABSOLUTE epoch
+        # position — a state() taken after restore({batch: 5}) + one batch
+        # must say 6, not 1 (review finding: the old reset-to-0 here made a
+        # checkpoint written from that state replay batches 1-5).  The
+        # offset clears when the epoch completes (below); an abandoned
+        # iterator leaves (epoch, position) where it stopped.
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

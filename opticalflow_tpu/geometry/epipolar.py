@@ -77,7 +77,14 @@ def eight_point_fundamental(x1: jax.Array, x2: jax.Array,
                    jnp.ones_like(u)], axis=1)
     if weights is not None:
         a = a * weights[:, None]
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    # full_matrices=True is REQUIRED: for the minimal N=8 case A is (8, 9)
+    # and the null-space right singular vector lives in the 9th row of vt,
+    # which the reduced SVD omits — vt[-1] of the reduced form is a row-
+    # space vector with singular value ~0.2, not the solution of Af=0
+    # (measured: Sampson residuals 0.64 px² on the hypothesis's own exact
+    # fitting points vs ~1e-9 with the full SVD, against a 0.5 px²
+    # RANSAC inlier threshold).  N≥9 callers are unaffected.
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     f = vt[-1].reshape(3, 3)
     # rank-2 projection
     uu, ss, vvt = jnp.linalg.svd(f)

@@ -58,5 +58,28 @@ def write_flow_png(path: str, flow: np.ndarray,
         if not ok:
             raise RuntimeError(f"cv2.imwrite failed: {path}")
     except ImportError:
-        import imageio.v2 as imageio
-        imageio.imwrite(path, out, format="PNG-FI")
+        # no cv2: write the PNG directly.  (imageio's 16-bit writers need
+        # either FreeImage — a separate native download — or a plugin
+        # stack we don't pin, and Pillow cannot write 16-bit RGB; a
+        # hand-rolled encoder is 15 lines and dependency-free.)
+        _write_png_u16_rgb(path, out)
+
+
+def _write_png_u16_rgb(path: str, arr: np.ndarray) -> None:
+    """Minimal 16-bit RGB PNG writer (bit depth 16, color type 2,
+    filter 0): signature + IHDR + one zlib IDAT + IEND."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    be = arr.astype(">u2")  # PNG samples are big-endian
+    raw = b"".join(b"\x00" + be[r].tobytes() for r in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))

@@ -22,9 +22,11 @@ __all__ = ["timeit", "flops_estimate", "param_count", "model_complexity",
 def timeit(fn: Callable, *args, iters: int = 10, warmup: int = 2,
            **kwargs) -> Dict[str, float]:
     """Time a device function with proper async-dispatch handling."""
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    if out is not None:   # warmup=0: caller already compiled/warmed
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)

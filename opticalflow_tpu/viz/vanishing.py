@@ -95,8 +95,12 @@ def estimate_vanishing_point(
     vy = 0.5 * (ye[gy] + ye[gy + 1])
     prob = float(hist[gx, gy] / (hist.sum() + 1e-9))
 
-    # least-squares refinement on lines passing near the winning bin:
-    # each flow line contributes the constraint n·p = n·p0 with n ⟂ d.
+    # least-squares refinement on lines close to the winning-bin VP —
+    # the reference's exact rule (``pwc_extract_flow_video_vanishpoint.py:
+    # 236-246``): geometric point-line distance to the bin center
+    # < 3·median over all sampled lines.  dx/dy are unit directions
+    # (normalized in ``_sample_vectors``, like the reference's ``dx_n``),
+    # so (nx, ny) are unit normals and ``dist`` is in pixels.
     nx, ny = -dy, dx
     c = nx * x + ny * y
     dist = np.abs(nx * vx + ny * vy - c)
@@ -185,6 +189,11 @@ def vanish_frame(frame_bgr: np.ndarray, flow: np.ndarray, *,
             vxs = int(round(ox + vx * s))
             vys = int(round(oy + vy * s))
             if 0 <= vxs < w and 0 <= vys < h:
+                # pixel-exact clone of the reference's marker + chip
+                # (``pwc_extract_flow_video_vanishpoint.py:365-378``:
+                # radius 8, arms ±15, text +10/−10) — intentionally NOT
+                # shared with draw_vanishing_point (the standalone helper
+                # with its own 12/18 geometry); goldens pin both
                 color = (0, 255, 255)
                 cv2.circle(out, (vxs, vys), 8, color, 3)
                 cv2.line(out, (vxs - 15, vys), (vxs + 15, vys), color, 2)

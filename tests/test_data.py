@@ -66,9 +66,50 @@ def test_loader_batching_and_resume(kitti_root):
     full = list(l2)
     l3 = Loader(ds, batch_size=2, num_workers=1, seed=3)
     l3.restore({"epoch": 5, "batch": 1, "seed": 3})
-    rest = list(l3)
+    it = iter(l3)
+    first = next(it)
+    # state() reports the ABSOLUTE epoch position after a mid-epoch
+    # restore (restored offset + consumed), not the consumed count alone —
+    # a checkpoint written here must NOT replay batches 1..offset
+    assert l3.state() == {"epoch": 5, "batch": 2, "seed": 3}
+    rest = [first] + list(it)
     assert len(rest) == 1
     np.testing.assert_array_equal(rest[0]["images"], full[1]["images"])
+    assert l3.state() == {"epoch": 6, "batch": 0, "seed": 3}
+
+
+def test_consecutive_frames_video_cached_capture(tmp_path):
+    """ConsecutiveFrames on a video must decode correct frames through the
+    cached-capture path (review finding: the old code opened + seeked the
+    container for EVERY read) — sequential pairs, the (i,i+1)/(i+1,i+2)
+    overlap served from cache, and out-of-order access all agree with a
+    fresh per-frame decode."""
+    cv2 = pytest.importorskip("cv2")
+    from opticalflow_tpu.data.datasets import ConsecutiveFrames
+
+    # frames with distinct, compression-robust solid colors
+    path = str(tmp_path / "v.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    levels = [0, 60, 120, 180, 240]
+    for lv in levels:
+        wr.write(np.full((64, 64, 3), lv, np.uint8))
+    wr.release()
+
+    ds = ConsecutiveFrames(path, size_hw=(64, 64), preset="rgb_unit")
+    assert len(ds) == 4
+
+    def mean_of(k):
+        return float(ds._read(k).mean())
+
+    # out-of-order first (forces a seek), then sequential (seek-free)
+    got = [mean_of(k) for k in (3, 0, 1, 2, 1, 4)]
+    want = [levels[k] for k in (3, 0, 1, 2, 1, 4)]
+    assert np.allclose(got, want, atol=12), (got, want)  # codec tolerance
+    # the overlap read (second 1) must hit the cache
+    assert 1 in ds._cache and 4 in ds._cache
+    # __getitem__ end-to-end: pair (i, i+1) preprocessed
+    s = ds[2]
+    assert s["images"].shape[-3:] == (64, 64, 6)
 
 
 def test_kitti_eval_dataset(tmp_path):

@@ -49,6 +49,20 @@ def test_eight_point_recovers_f():
     assert d.max() < 0.5
 
 
+def test_eight_point_minimal_sample_fits_its_own_points():
+    """The N=8 minimal solve (the RANSAC hypothesis path) must fit its own
+    EXACT correspondences to ~solver precision.  Regression for the
+    reduced-SVD bug: svd(full_matrices=False) on the (8, 9) design matrix
+    omits the null-space right singular vector, so vt[-1] was a row-space
+    vector and every RANSAC hypothesis carried 0.64 px² mean residual on
+    its own fitting points — larger than the 0.5 px² inlier threshold."""
+    for seed in range(5):
+        x1, x2, _ = _synthetic_two_view(n=8, seed=seed)
+        f = eight_point_fundamental(jnp.asarray(x1), jnp.asarray(x2))
+        d = np.asarray(sampson_distance(f, jnp.asarray(x1), jnp.asarray(x2)))
+        assert d.max() < 1e-3, (seed, d.max())
+
+
 def test_ransac_rejects_outliers():
     x1, x2, _ = _synthetic_two_view(n=300, noise=0.05)
     rng = np.random.RandomState(3)

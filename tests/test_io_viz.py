@@ -46,6 +46,32 @@ def test_kitti_png_round_trip(tmp_path):
     np.testing.assert_allclose(back, flow, atol=1 / 64 + 1e-6)
 
 
+def test_kitti_png_fallback_writer_matches_cv2(tmp_path):
+    """The no-cv2 fallback writer (hand-rolled 16-bit RGB PNG encoder) must
+    produce files cv2 decodes bit-identically to cv2-written ones.  (The
+    old imageio format='PNG-FI' fallback needed the FreeImage native
+    binary, absent by default — it raised in exactly the no-cv2
+    environment it existed for.)"""
+    pytest.importorskip("cv2")
+    from opticalflow_tpu.io.kitti import _write_png_u16_rgb
+    rng = np.random.RandomState(4)
+    flow = (rng.randn(31, 45, 2) * 10).astype(np.float32)
+    valid = rng.rand(31, 45) > 0.3
+    out = np.zeros((31, 45, 3), np.uint16)
+    scaled = np.clip(flow * 64.0 + 32768.0, 0, 65535)
+    out[..., 0] = scaled[..., 0].astype(np.uint16)
+    out[..., 1] = scaled[..., 1].astype(np.uint16)
+    out[..., 2] = valid.astype(np.uint16)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    _write_png_u16_rgb(pa, out)
+    write_flow_png(pb, flow, valid)
+    fa, va = read_flow_png(pa)
+    fb, vb = read_flow_png(pb)
+    np.testing.assert_array_equal(fa, fb)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(va, valid)
+
+
 def test_pad_unpad_round_trip():
     img = np.random.RandomState(2).rand(1, 100, 200, 3).astype(np.float32)
     padded, ph, pw = imio.pad_to_multiple_of_64(img)
