@@ -25,6 +25,11 @@ def build_parser():
                         "size inside one program; 8 keeps the peak XLA "
                         "schedule at any multiple-of-8 --batch (PERF.md "
                         "batch-cliff sweep)")
+    p.add_argument("--data-parallel", default="1", metavar="N|all",
+                   help="shard each evaluation batch across N chips "
+                        "(data-parallel mesh; 'all' = every visible "
+                        "device; --batch must divide by N; mutually "
+                        "exclusive with --dispatch-chunk)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -34,12 +39,19 @@ def main(argv=None) -> int:
     from opticalflow_tpu.engine import FlowEngine
     from opticalflow_tpu.evaluate import evaluate_sintel
     from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.parallel.mesh import resolve_data_parallel
     from opticalflow_tpu.train.checkpoints import load_params
 
+    mesh = resolve_data_parallel(args.data_parallel)
+    if mesh is not None and args.batch % mesh.shape["data"]:
+        raise SystemExit(
+            f"--batch {args.batch} must be divisible by the data-parallel "
+            f"width {mesh.shape['data']} (each evaluation batch is sharded "
+            f"over the mesh)")
     model = PWCDCNet(variant=args.variant)
     params = load_params(args.ckpt, variant=args.variant)
     engine = FlowEngine(model, params, flow_scale=args.flow_scale,
-                        dispatch_chunk=args.dispatch_chunk)
+                        mesh=mesh, dispatch_chunk=args.dispatch_chunk)
     res = evaluate_sintel(engine, args.root, render=args.render,
                           preset=args.preset, batch=args.batch,
                           save_dir=args.save_dir, limit=args.limit)

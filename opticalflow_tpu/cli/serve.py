@@ -57,25 +57,18 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         precision="fast" if args.dtype == "bfloat16" else "highest")
     params = load_params(args.ckpt, variant=args.variant)
-    mesh = None
-    import jax
-    ndev = (len(jax.devices()) if args.data_parallel == "all"
-            else int(args.data_parallel))
-    if ndev > 1 or args.data_parallel == "all":
-        from opticalflow_tpu.parallel.mesh import make_mesh
-        if ndev > len(jax.devices()):
-            # make_mesh(jax.devices()[:ndev]) would silently truncate, and
-            # then every padded max-batch dispatch fails inside the sharded
-            # jit (max_batch checked against the REQUESTED width below)
-            raise SystemExit(
-                f"--data-parallel {ndev} exceeds the {len(jax.devices())} "
-                f"visible devices; pass 'all' to use every device")
+    from opticalflow_tpu.parallel.mesh import resolve_data_parallel
+    try:
+        mesh = resolve_data_parallel(args.data_parallel)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if mesh is not None:
+        ndev = mesh.shape["data"]
         if args.max_batch % ndev:
             raise SystemExit(
                 f"--max-batch {args.max_batch} must be divisible by the "
                 f"data-parallel width {ndev} (every dispatch is padded to "
                 f"max-batch and sharded over the mesh)")
-        mesh = make_mesh(jax.devices()[:ndev])
         print(f"data-parallel serving over {ndev} devices "
               f"({args.max_batch // ndev} pairs/device/batch)")
     engine = FlowEngine(model, params, flow_scale=args.flow_scale, mesh=mesh)

@@ -60,7 +60,10 @@ class FlowEngine:
         fine-tuned checkpoints are trained against unscaled GT
         (``train.py:71-72``) and need 1.0.
       mesh: optional ``jax.sharding.Mesh`` with a "data" axis for multi-chip
-        data-parallel inference (batch must divide the axis size).
+        data-parallel inference.  :meth:`flow_from_pairs` pads ragged
+        batches to a multiple of the axis size transparently;
+        :meth:`flow_from_batch` callers must pass a divisible batch
+        (device arrays are not repadded on host).
       dispatch_chunk: optional sub-batch size.  When set, any forward over a
         batch larger than (and divisible by) it runs as ``lax.map`` over
         B/chunk sub-batches *inside* the same jitted program.  XLA's
@@ -273,10 +276,18 @@ class FlowEngine:
         (N, shape).  Constant-shape datasets (KITTI 1242×375, Sintel
         436×1024) evaluate as full batches instead of the reference's
         per-pair batch-1 loop (``inference_kitti.py:227-263``).  With a mesh,
-        N must divide the ``data`` axis size.
+        N is padded up to a multiple of the ``data`` axis size (repeating
+        the last pair) and the padding rows are dropped from the output —
+        dataset tails and single pairs shard transparently.
         """
         if len(im1s) != len(im2s) or not im1s:
             raise ValueError("im1s/im2s must be equal-length, non-empty")
+        n = len(im1s)
+        if self.mesh is not None:
+            pad = -n % self.mesh.shape["data"]
+            if pad:
+                im1s = list(im1s) + [im1s[-1]] * pad
+                im2s = list(im2s) + [im2s[-1]] * pad
         h, w = im1s[0].shape[:2]
         for im in (*im1s, *im2s):
             if im.shape[:2] != (h, w):
@@ -296,7 +307,7 @@ class FlowEngine:
                 self.params, jnp.asarray(x),
                 jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
                 preset, h, w)
-            return np.asarray(flow)
+            return np.asarray(flow)[:n]
         if size_mode in ("pad", "pad_ref"):
             x = np.stack([np.concatenate((a, b), axis=-1)
                           for a, b in zip(im1s, im2s)])
@@ -311,13 +322,13 @@ class FlowEngine:
                         "frame size; use size_mode='pad'")
                 full = self._full_padref_u8(self.params, jnp.asarray(xp),
                                             preset, ph, pw, h, w)
-                return np.asarray(full)
+                return np.asarray(full)[:n]
             full = self._full_pad_u8(self.params, jnp.asarray(xp), preset,
                                      hp, wp)
-            return np.asarray(full[:, :h, :w])
+            return np.asarray(full[:, :h, :w])[:n]
         if size_mode == "resize_fixed":
             return self._flow_resize_fixed(im1s, im2s, preset, image_size,
-                                           h, w)
+                                           h, w)[:n]
         raise ValueError("size_mode must be 'resize', 'pad', 'pad_ref' or "
                          f"'resize_fixed', got {size_mode!r}")
 

@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+__all__ = ["make_mesh", "resolve_data_parallel",
+           "batch_sharding", "replicated", "shard_batch",
            "replicate", "distributed_init", "barrier", "local_batch_size"]
 
 
@@ -84,6 +85,26 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     """1-D data-parallel mesh over all (or the given) devices."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def resolve_data_parallel(spec: str) -> Optional[Mesh]:
+    """Parse a CLI ``--data-parallel N|all`` spec into a mesh (or ``None``).
+
+    ``"1"`` (the default) returns ``None`` — plain single-device dispatch
+    with no sharding machinery.  ``"all"`` always builds a mesh over every
+    visible device (even one: useful to drive the sharded code path on a
+    single chip).  ``N > len(jax.devices())`` raises instead of silently
+    truncating — a truncated mesh would make every later sharded dispatch
+    fail inside jit with a much less legible error.
+    """
+    ndev = len(jax.devices()) if spec == "all" else int(spec)
+    if ndev <= 1 and spec != "all":
+        return None
+    if ndev > len(jax.devices()):
+        raise ValueError(
+            f"--data-parallel {ndev} exceeds the {len(jax.devices())} "
+            f"visible devices; pass 'all' to use every device")
+    return make_mesh(jax.devices()[:ndev])
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

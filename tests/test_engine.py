@@ -61,6 +61,35 @@ def test_flow_from_batch_sharded(setup):
     np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-2)
 
 
+def test_flow_from_pairs_sharded_ragged_batch(setup):
+    """A sharded engine must accept batches that do not divide the data
+    axis: flow_from_pairs pads to a multiple of the mesh width (repeating
+    the last pair) and drops the padding rows — dataset tails and single
+    pairs work without caller-side padding."""
+    model, params = setup
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    eng_mesh = FlowEngine(model, params, flow_scale=20.0, mesh=mesh)
+    eng_solo = FlowEngine(model, params, flow_scale=20.0)
+    pairs = [_frames(64, 96, seed=s) for s in range(3)]   # 3 % 8 != 0
+    im1s, im2s = [p[0] for p in pairs], [p[1] for p in pairs]
+    for mode in ("resize", "pad"):
+        a = eng_mesh.flow_from_pairs(im1s, im2s, size_mode=mode)
+        b = eng_solo.flow_from_pairs(im1s, im2s, size_mode=mode)
+        assert a.shape == (3, 64, 96, 2)
+        # B=8 padded sharded program vs the B=3 program: conv accumulation
+        # order differs at the 1e-5 level; that's XLA tiling, not sharding
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_resolve_data_parallel_spec():
+    assert meshlib.resolve_data_parallel("1") is None
+    m = meshlib.resolve_data_parallel("all")
+    assert m.shape["data"] == len(jax.devices())
+    assert meshlib.resolve_data_parallel("4").shape["data"] == 4
+    with pytest.raises(ValueError, match="exceeds"):
+        meshlib.resolve_data_parallel(str(len(jax.devices()) + 1))
+
+
 def test_check_finite_reports_paths():
     tree = {"a": {"kernel": np.ones(3)},
             "b": np.array([1.0, np.nan, np.inf])}
