@@ -22,6 +22,14 @@ import time
 
 BASELINE_PAIRS_PER_SEC = 200.0  # BASELINE.json north_star
 H, W = 448, 1024                # Sintel 436x1024 padded to /64
+# Algebraic flops of one forward pair at (H, W) on the DEFAULT graph
+# (bf16-fast, B=8 ⇒ blocked-auto ON), from XLA lowering-level
+# cost_analysis on the CPU backend.  The axon backend can't produce this
+# (None / 45×-low through the relay), so bench.py falls back to this pin
+# for the mfu field.  Guarded by tests/test_bench_pins.py — re-pin there
+# and here together with any default-graph change (same trigger as
+# scripts/reseed_bench_cache.py).
+FLOPS_PER_PAIR = 1.80522e11
 # B=8 is the measured throughput peak on v5e (round-3 sweep, PERF.md):
 # the blocked level-1/2 pipeline (auto-on below pair-batch 32) clears
 # 329 pairs/s/chip there vs 297 at the former B=64 config; neighbors
@@ -112,13 +120,11 @@ def main() -> None:
     # MFU from XLA's lowering-level cost analysis (algebraic flops of the
     # lowered forward).  The axon backend returns None from
     # Lowered.cost_analysis() and its COMPILED-level analysis is unusable
-    # through the relay (measured 45× low), so fall back to the pinned
-    # value measured on the CPU backend for this exact default graph:
-    # 1.80522e11 flops/pair at 448×1024 (bf16-fast, B=8 blocked-auto).
-    # Re-pin alongside any default-graph change (same trigger as
-    # scripts/reseed_bench_cache.py).  Peak: v5e bf16 ≈ 197 TFLOP/s
+    # through the relay (measured 45× low), so fall back to FLOPS_PER_PAIR,
+    # pinned from the CPU backend for this exact default graph and guarded
+    # by tests/test_bench_pins.py.  Peak: v5e bf16 ≈ 197 TFLOP/s
     # (PERF.md "headroom").
-    flops_per_step = 1.80522e11 * batch
+    flops_per_step = FLOPS_PER_PAIR * batch
     try:
         low = jax.jit(lambda x: model.apply({"params": params}, x)).lower(
             jax.ShapeDtypeStruct((batch, H, W, 6), jnp.float32))

@@ -63,7 +63,15 @@ def main(argv=None) -> int:
     from opticalflow_tpu.parallel.mesh import resolve_data_parallel
     from opticalflow_tpu.train.checkpoints import load_params
 
-    mesh = resolve_data_parallel(args.data_parallel)
+    try:
+        mesh = resolve_data_parallel(args.data_parallel)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if mesh is not None and args.dispatch_chunk is not None:
+        raise SystemExit(
+            "--dispatch-chunk is a single-chip scheduling lever; it is "
+            "mutually exclusive with --data-parallel (the mesh shards each "
+            "batch instead)")
     if mesh is not None and args.batch % mesh.shape["data"]:
         raise SystemExit(
             f"--batch {args.batch} must be divisible by the data-parallel "

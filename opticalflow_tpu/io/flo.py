@@ -35,13 +35,25 @@ def write_flo(path: str, flow_uv: np.ndarray) -> None:
 
 
 def read_flo(path: str) -> np.ndarray:
-    """Read a Middlebury .flo file into (H, W, 2) float32."""
+    """Read a Middlebury .flo file into (H, W, 2) float32.
+
+    Fails loudly with the path and the specific defect on malformed input
+    (short/missing header, wrong magic, nonsensical dimensions, truncated
+    payload) — the reference readers raise bare struct/reshape errors here
+    (``data_processing.py:17-29``).
+    """
     with open(path, "rb") as f:
-        tag = struct.unpack("<f", f.read(4))[0]
+        header = f.read(12)
+        if len(header) < 12:
+            raise ValueError(f"{path}: not a .flo file (only {len(header)} "
+                             f"header bytes, expected 12)")
+        tag = struct.unpack("<f", header[:4])[0]
         if abs(tag - TAG_FLOAT) > 1e-3:
             raise ValueError(f"{path}: bad .flo magic {tag!r}")
-        w = struct.unpack("<i", f.read(4))[0]
-        h = struct.unpack("<i", f.read(4))[0]
+        w, h = struct.unpack("<ii", header[4:12])
+        if not (0 < w < 10**6 and 0 < h < 10**6):
+            raise ValueError(f"{path}: implausible .flo dimensions "
+                             f"{w}x{h}")
         data = np.frombuffer(f.read(h * w * 2 * 4), dtype="<f4")
     if data.size != h * w * 2:
         raise ValueError(f"{path}: truncated .flo ({data.size} values, "

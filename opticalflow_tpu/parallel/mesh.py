@@ -95,9 +95,21 @@ def resolve_data_parallel(spec: str) -> Optional[Mesh]:
     visible device (even one: useful to drive the sharded code path on a
     single chip).  ``N > len(jax.devices())`` raises instead of silently
     truncating — a truncated mesh would make every later sharded dispatch
-    fail inside jit with a much less legible error.
+    fail inside jit with a much less legible error.  ``N < 1`` and
+    non-integer specs also raise (``--data-parallel 0`` is a typo, not a
+    request for single-device dispatch).
     """
-    ndev = len(jax.devices()) if spec == "all" else int(spec)
+    if spec == "all":
+        ndev = len(jax.devices())
+    else:
+        try:
+            ndev = int(spec)
+        except ValueError:
+            raise ValueError(
+                f"--data-parallel expects an integer or 'all', got {spec!r}")
+        if ndev < 1:
+            raise ValueError(
+                f"--data-parallel must be >= 1 (or 'all'), got {spec!r}")
     if ndev <= 1 and spec != "all":
         return None
     if ndev > len(jax.devices()):

@@ -51,6 +51,10 @@ def yuv_i420_to_rgb_u8(yuv: jnp.ndarray) -> jnp.ndarray:
     runner pads odd frames by one edge px before converting).
     """
     b, h32, w = yuv.shape
+    if h32 % 3 or (h32 * 2 // 3) % 2 or w % 2:
+        raise ValueError(
+            f"bad I420 packed shape {yuv.shape}: rows must be H*3/2 with "
+            f"H and W even (got packed rows {h32}, width {w})")
     h = h32 * 2 // 3
     y = jnp.maximum(yuv[:, :h].astype(jnp.int32) - 16, 0) * 1220542
     # the chroma region packs U then V contiguously; when h % 4 != 0 the

@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 H, W = 320, 896          # reference fine-tune crop (train.py:115)
 LOOP_N = 10
 REPEATS = 3
+# Algebraic flops of one fwd+bwd+AdamW pair at (H, W), no remat, from XLA
+# lowering-level cost_analysis on the CPU backend (the axon backend can't
+# report it — same story as bench.py's FLOPS_PER_PAIR).  ≈2.98× the
+# forward at this crop.  Guarded by tests/test_bench_pins.py; re-pin with
+# any default-graph or trainer change.  Remat modes execute MORE flops
+# than this pin (recompute), so mfu is only emitted for remat=off.
+TRAIN_FLOPS_PER_PAIR = 3.36399e11
 
 
 def main():
@@ -74,12 +81,16 @@ def main():
         jax.block_until_ready(chain(state, batch_data))
     per_step = ((time.perf_counter() - t0) / REPEATS - ovh) / LOOP_N
 
-    print(json.dumps({
+    rec = {
         "metric": f"train_step_{H}x{W}_pairs_per_sec_per_chip",
         "batch": batch, "remat": str(remat), "grad_accum": accum,
         "ms_per_step": round(per_step * 1000, 2),
         "pairs_per_sec": round(batch / per_step, 2),
-    }))
+    }
+    if not remat:  # pin only covers the no-recompute graph
+        rec["mfu"] = round(
+            TRAIN_FLOPS_PER_PAIR * batch / per_step / 197e12, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

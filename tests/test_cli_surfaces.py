@@ -198,6 +198,22 @@ def test_parity_cli(ckpt, tmp_path, capsys):
     assert os.path.isfile(artifact) and os.path.isfile(report)
 
 
+@pytest.mark.parametrize("cli", ("eval_sintel", "infer_kitti"))
+def test_eval_cli_bad_parallel_specs_exit_cleanly(cli):
+    # ADVICE r4: bad --data-parallel specs and the --data-parallel ×
+    # --dispatch-chunk combination must exit with a message, not a traceback.
+    # The mesh checks run before checkpoint load, so a dummy ckpt suffices.
+    import importlib
+    main = importlib.import_module(f"opticalflow_tpu.cli.{cli}").main
+    base = ["--root", "/nonexistent", "--ckpt", "/nonexistent.pth.tar"]
+    for extra in (["--data-parallel", "foo"],
+                  ["--data-parallel", "0"],
+                  ["--data-parallel", "all", "--dispatch-chunk", "8"]):
+        with pytest.raises(SystemExit) as ei:
+            main(base + extra)
+        assert not isinstance(ei.value.code, int) or ei.value.code != 0
+
+
 def test_serve_cli_parser():
     # the serving pipeline itself (dispatcher + HTTP) is covered end-to-end
     # in tests/test_serve.py; here: the CLI contract parses

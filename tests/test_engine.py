@@ -88,6 +88,13 @@ def test_resolve_data_parallel_spec():
     assert meshlib.resolve_data_parallel("4").shape["data"] == 4
     with pytest.raises(ValueError, match="exceeds"):
         meshlib.resolve_data_parallel(str(len(jax.devices()) + 1))
+    # typos fail loudly instead of silently running single-device
+    with pytest.raises(ValueError, match=">= 1"):
+        meshlib.resolve_data_parallel("0")
+    with pytest.raises(ValueError, match=">= 1"):
+        meshlib.resolve_data_parallel("-2")
+    with pytest.raises(ValueError, match="integer or 'all'"):
+        meshlib.resolve_data_parallel("foo")
 
 
 def test_check_finite_reports_paths():
