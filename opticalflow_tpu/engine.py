@@ -96,10 +96,19 @@ class FlowEngine:
                     "one or the other")
         self.dispatch_chunk = dispatch_chunk
         self._x_sharding = None
+        self._replicate_out = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._x_sharding = NamedSharding(mesh, P("data"))
             params = jax.device_put(params, NamedSharding(mesh, P()))
+            # multi-PROCESS fetch: a batch-sharded output spans devices this
+            # process cannot address, so np.asarray would raise.  An identity
+            # program with a replicated out_sharding makes XLA emit the
+            # all-gather (Gloo over DCN between hosts, ICI inside a slice) and
+            # every process reads its full local replica.  Single-process
+            # meshes skip this (all shards already addressable).
+            self._replicate_out = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(mesh, P()))
         self.params = jax.tree.map(jnp.asarray, params)
 
         scale = self.flow_scale
@@ -219,6 +228,12 @@ class FlowEngine:
 
         self._quarter_to_full = quarter_to_full
 
+    def _fetch(self, arr) -> np.ndarray:
+        """Device → host for a (possibly multi-process-sharded) output."""
+        if self._replicate_out is not None and jax.process_count() > 1:
+            arr = self._replicate_out(arr)
+        return np.asarray(arr)
+
     # ---------------------------------------------------------- public API
 
     def flow_from_batch(self, x, out_size: Optional[Tuple[int, int]] = None,
@@ -307,7 +322,7 @@ class FlowEngine:
                 self.params, jnp.asarray(x),
                 jnp.float32(h / float(h64)), jnp.float32(w / float(w64)),
                 preset, h, w)
-            return np.asarray(flow)[:n]
+            return self._fetch(flow)[:n]
         if size_mode in ("pad", "pad_ref"):
             x = np.stack([np.concatenate((a, b), axis=-1)
                           for a, b in zip(im1s, im2s)])
@@ -322,10 +337,10 @@ class FlowEngine:
                         "frame size; use size_mode='pad'")
                 full = self._full_padref_u8(self.params, jnp.asarray(xp),
                                             preset, ph, pw, h, w)
-                return np.asarray(full)[:n]
+                return self._fetch(full)[:n]
             full = self._full_pad_u8(self.params, jnp.asarray(xp), preset,
                                      hp, wp)
-            return np.asarray(full[:, :h, :w])[:n]
+            return self._fetch(full[:, :h, :w])[:n]
         if size_mode == "resize_fixed":
             return self._flow_resize_fixed(im1s, im2s, preset, image_size,
                                            h, w)[:n]
@@ -352,7 +367,7 @@ class FlowEngine:
                                                          Image.BILINEAR))
         x = np.stack([np.concatenate((rs(a), rs(b)), axis=-1)
                       for a, b in zip(im1s, im2s)])
-        q = np.asarray(self._quarter_u8(self.params, jnp.asarray(x), preset))
+        q = self._fetch(self._quarter_u8(self.params, jnp.asarray(x), preset))
         qh, qw = q.shape[1:3]
         out = np.empty((q.shape[0], h, w, 2), np.float32)
         for i in range(q.shape[0]):

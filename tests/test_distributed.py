@@ -71,6 +71,74 @@ print("RESULT", pid, repr(float(metrics["loss"])),
 """
 
 
+EVAL_WORKER = r"""
+import os
+import sys
+sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
+port, pid = sys.argv[1], int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+from opticalflow_tpu.parallel import mesh as meshlib
+rank, count = meshlib.distributed_init(f"127.0.0.1:{port}", 2, pid,
+                                       shutdown_timeout_seconds=1200)
+assert (rank, count) == (pid, 2), (rank, count)
+assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+
+import numpy as np
+import jax.numpy as jnp
+from opticalflow_tpu.engine import FlowEngine
+from opticalflow_tpu.evaluate import evaluate_pairs
+from opticalflow_tpu.models.pwcnet import PWCDCNet
+from opticalflow_tpu.serve import FlowServer
+
+model = PWCDCNet(variant="new", precision="fast")
+params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 6)))["params"]
+mesh = meshlib.make_mesh()
+engine = FlowEngine(model, params, mesh=mesh)
+
+# Both processes feed the SAME global batch; the engine shards it over the
+# global mesh and all-gathers the output back to every host (_fetch).
+rng = np.random.RandomState(0)
+im1s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(8)]
+im2s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(8)]
+gts = [rng.randn(64, 64, 2).astype(np.float32) for _ in range(8)]
+
+# Compile the forward FIRST (no collective inside: pure DP), then
+# rendezvous — the first Gloo collective (the output all-gather in
+# _fetch) has a short context-init window and a compile finishing
+# minutes apart across ranks would blow it.
+x = np.stack([np.concatenate((a, b), axis=-1) for a, b in zip(im1s, im2s)])
+jax.block_until_ready(engine._full_pad_u8(engine.params, jnp.asarray(x),
+                                          "bgr_unit", 64, 64))
+meshlib.barrier("post_forward_compile")
+
+# --- direct sharded inference, output gathered to every host
+flows = engine.flow_from_pairs(im1s, im2s, size_mode="pad")
+print("FLOWSUM", pid, repr(float(np.abs(flows).sum())), flush=True)
+
+# --- data-parallel evaluation (same program shape: batch 8, 64x64)
+ds = [{"im1": a, "im2": b, "flow": g, "stem": f"p{i}"}
+      for i, (a, b, g) in enumerate(zip(im1s, im2s, gts))]
+res = evaluate_pairs(engine, ds, size_mode="pad", batch=8, verbose=False)
+print("EVAL", pid, repr(res["epe"]), repr(res["fl_all"]), flush=True)
+
+# --- serving dispatch across both processes: one request per rank with
+# identical frames -> each rank's dispatch thread pads to max_batch=8 and
+# runs the same global program (deterministic lockstep)
+server = FlowServer(engine, max_batch=8, max_delay_ms=1)
+flow = server.flow(im1s[0], im2s[0], size_mode="pad")
+server.close()
+print("SERVE", pid, repr(float(np.abs(flow).sum())), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -147,3 +215,72 @@ def test_two_process_step_matches_single_process(tmp_path):
                                rtol=2e-5)
     np.testing.assert_allclose(results[0][1],
                                float(ref_metrics["grad_norm"]), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_eval_and_serving_match_single_process(tmp_path):
+    """VERDICT r4 task 6: the serving dispatcher and evaluate_pairs driven
+    across 2 OS processes × 4 devices (Gloo) must equal the single-process
+    8-device result.  The inference path has no reductions, so unlike the
+    train step the numbers should match exactly."""
+    script = tmp_path / "eval_worker.py"
+    script.write_text(EVAL_WORKER)
+    port = _free_port()
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(port), str(p)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in range(2)]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    got = {}  # tag -> {pid: values}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-4000:]
+        for line in out.splitlines():
+            if line.startswith(("FLOWSUM", "EVAL", "SERVE")):
+                parts = line.split()
+                got.setdefault(parts[0], {})[int(parts[1])] = tuple(
+                    float(v) for v in parts[2:])
+    for tag in ("FLOWSUM", "EVAL", "SERVE"):
+        assert set(got[tag]) == {0, 1}, got
+        assert got[tag][0] == got[tag][1], (tag, got[tag])
+
+    # single-process reference on this runner's own 8 CPU devices
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflow_tpu.engine import FlowEngine
+    from opticalflow_tpu.evaluate import evaluate_pairs
+    from opticalflow_tpu.models.pwcnet import PWCDCNet
+    from opticalflow_tpu.parallel import mesh as meshlib
+    from opticalflow_tpu.serve import FlowServer
+
+    model = PWCDCNet(variant="new", precision="fast")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 6)))["params"]
+    engine = FlowEngine(model, params, mesh=meshlib.make_mesh())
+    rng = np.random.RandomState(0)
+    im1s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(8)]
+    im2s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(8)]
+    gts = [rng.randn(64, 64, 2).astype(np.float32) for _ in range(8)]
+
+    flows = engine.flow_from_pairs(im1s, im2s, size_mode="pad")
+    np.testing.assert_allclose(got["FLOWSUM"][0][0],
+                               float(np.abs(flows).sum()), rtol=1e-6)
+
+    ds = [{"im1": a, "im2": b, "flow": g, "stem": f"p{i}"}
+          for i, (a, b, g) in enumerate(zip(im1s, im2s, gts))]
+    res = evaluate_pairs(engine, ds, size_mode="pad", batch=8, verbose=False)
+    np.testing.assert_allclose(got["EVAL"][0],
+                               (res["epe"], res["fl_all"]), rtol=1e-6)
+
+    server = FlowServer(engine, max_batch=8, max_delay_ms=1)
+    flow = server.flow(im1s[0], im2s[0], size_mode="pad")
+    server.close()
+    np.testing.assert_allclose(got["SERVE"][0][0],
+                               float(np.abs(flow).sum()), rtol=1e-6)
