@@ -6,7 +6,13 @@ batch occupancy per request encoding.  The JSON path pays base64 inflation
 and PNG decode on the 1-core host; the octet-stream path posts the two raw
 uint8 frames with an ``X-Frame-Shape`` header (see ``serve.py``).
 
-    python scripts/serve_load.py [H W] [clients] [reqs_per_client] [dp]
+    python scripts/serve_load.py [H W] [clients] [reqs_per_client] [dp] \
+                                 [max_batch] [max_delay_ms]
+
+``clients=1`` with ``max_delay_ms=0`` measures single-request latency
+(p50 = the serving-path time-to-result through the relay, VERDICT r4
+task 3); ``max_batch=1`` additionally compiles the B=1 program instead
+of padding each lone request to 8.
 
 ``dp`` ≥ 1 routes dispatch through the data-parallel mesh code path
 (NamedSharding over the first ``dp`` devices; on a single chip dp=1 still
@@ -94,6 +100,8 @@ def main():
     clients = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     reqs = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     dp = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    max_batch = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+    delay_ms = float(sys.argv[7]) if len(sys.argv) > 7 else 20.0
 
     import jax
     import jax.numpy as jnp
@@ -112,7 +120,7 @@ def main():
         mesh = make_mesh(jax.devices()[:dp])
         print(f"sharded dispatch over {dp} device(s)", flush=True)
     engine = FlowEngine(model, params, flow_scale=20.0, mesh=mesh)
-    server = FlowServer(engine, max_batch=8, max_delay_ms=20.0,
+    server = FlowServer(engine, max_batch=max_batch, max_delay_ms=delay_ms,
                         preset="bgr_unit")
     httpd = make_http_server(server, "127.0.0.1", 0)
     port = httpd.server_address[1]
@@ -120,9 +128,9 @@ def main():
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 255, (h, w, 3), np.uint8) for _ in range(4)]
-    print(f"warmup compile at {h}x{w} (batch 8) ...", flush=True)
+    print(f"warmup compile at {h}x{w} (batch {max_batch}) ...", flush=True)
     t0 = time.perf_counter()
-    engine.flow_from_pairs([frames[0]] * 8, [frames[1]] * 8,
+    engine.flow_from_pairs([frames[0]] * max_batch, [frames[1]] * max_batch,
                            preset="bgr_unit", size_mode="resize")
     print(f"warm in {time.perf_counter() - t0:.1f}s", flush=True)
 
