@@ -136,6 +136,26 @@ def main() -> None:
     except Exception:
         pass  # keep the pinned fallback
     rec["mfu"] = round(flops_per_step / per_step / (197e12 * n_dev), 4)
+
+    # Single-pair device latency (VERDICT r4 task 3): the canonical contract
+    # is a single-pair CLI (reference script_pwc.py:34-39), so B=1 on-device
+    # latency is a scoreboard metric alongside the batched throughput.
+    # Same chained-loop methodology; one pair per device.
+    x1 = x0[:n_dev]
+    try:
+        t0 = time.perf_counter()
+        float(bench(params, x1))  # compile (cached via seed) + warm
+        b1_compile_s = time.perf_counter() - t0
+        b1_repeats = 1 if b1_compile_s > 60.0 else repeats
+        times1 = []
+        for _ in range(b1_repeats):
+            t0 = time.perf_counter()
+            float(bench(params, x1))
+            times1.append(time.perf_counter() - t0)
+        rec["latency_b1_ms"] = round(
+            (sum(times1) / len(times1) - ovh) / LOOP_N * 1e3, 3)
+    except Exception:
+        pass  # B=1 latency is auxiliary; never cost the headline record
     print(json.dumps(rec))
 
 
