@@ -77,27 +77,41 @@ def _prep_gather(flow, h, w, mask_threshold=0.9999):
     return jnp.pad(idx, pad), jnp.pad(wv, pad + ((0, 0),))
 
 
-def _fused_kernel(md, th, h, w, c,
-                  f1_ref, z_ref, idx_ref, wv_ref, out_ref, gat_ref):
+def _fused_kernel(md, th, h, w, c, rows8, cl,
+                  f1_ref, z_hbm, idx_ref, wv_ref, out_ref,
+                  z_ref, gat_ref, sem):
     """One (batch, row-tile) grid step.
 
-    f1 (1, th, w, c); z packed corners (1, (h+1)*(w+1), 4c) resident;
-    idx (1, h+2md, w) int32; wv (1, h+2md, w, 4) f32;
-    out (1, nd2, th, w); gat scratch (th+2md, w, 4c) f32.
+    f1 (1, th, w, c); z packed corners (b·rows8, 4c) in HBM, DMAed into the
+    persistent z_ref scratch once per batch item (a resident BlockSpec
+    would be double-buffered by the pipeline — 2×7.5 MB blew VMEM);
+    idx (1, h+2md, w) int32 in SMEM; wv (1, h+2md, w, 4) f32;
+    out (1, nd2, th, w); gat scratch ((th+2md)·w, 4c) f32.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
+    bb = pl.program_id(0)
     i = pl.program_id(1)
     thh = th + 2 * md
     base = i * th                                  # halo start in padded rows
 
-    # phase 1 — the scalar gather loop (the measured bottleneck candidate)
+    @pl.when(i == 0)
+    def _load_z():
+        cp = pltpu.make_async_copy(
+            z_hbm.at[pl.ds(bb * rows8, rows8)], z_ref, sem)
+        cp.start()
+        cp.wait()
+
+    # phase 1 — the scalar gather loop (the measured bottleneck candidate).
+    # z and the scratch are 2-D (rows, 4c): Mosaic's alignment prover
+    # rejects width-1 dynamic sublane slices on 3-D refs at this scale.
     def gather_row(yy, _):
         def gather_px(xx, _):
-            gat_ref[yy, pl.ds(xx, 1)] = z_ref[
-                0, pl.ds(idx_ref[0, base + yy, xx], 1)].astype(jnp.float32)
+            gat_ref[pl.ds(yy * w + xx, 1)] = z_ref[
+                pl.ds(idx_ref[0, base + yy, xx], 1)]
             return 0
         jax.lax.fori_loop(0, w, gather_px, 0)
         return 0
@@ -105,7 +119,7 @@ def _fused_kernel(md, th, h, w, c,
 
     # phase 2 — vectorized bilinear combine + 81-displacement correlation
     wvwin = wv_ref[0, pl.ds(base, thh)]            # (thh, w, 4)
-    gat = gat_ref[:]                               # (thh, w, 4c) f32
+    gat = gat_ref[:].reshape(thh, w, cl)           # f32
     warped = jnp.zeros((thh, w, c), jnp.float32)
     for k in range(4):
         warped = warped + wvwin[..., k:k + 1] * gat[:, :, k * c:(k + 1) * c]
@@ -131,25 +145,42 @@ def fused_warp_corr(f1, f2, flow, th=8, interpret=False):
     b, h, w, c = f1.shape
     idx, wv = _prep_gather(flow, h, w)
 
-    # packed corners over the 1-px zero-padded image, flattened rows
+    # packed corners over the 1-px zero-padded image, flattened rows,
+    # padded to an 8-multiple row count and folded to 2-D so each batch
+    # item is one 8-aligned block of an (b·rows8, 4c) array
     pimg = jnp.pad(f2, ((0, 0), (1, 1), (1, 1), (0, 0)))
     z = jnp.concatenate([
         pimg[:, :-1, :-1], pimg[:, :-1, 1:],
         pimg[:, 1:, :-1], pimg[:, 1:, 1:]], axis=-1)          # (b,h+1,w+1,4c)
-    z = z.reshape(b, (h + 1) * (w + 1), 4 * c)
+    nrow = (h + 1) * (w + 1)
+    rows8 = -(-nrow // 8) * 8
+    z = jnp.pad(z.reshape(b, nrow, 4 * c),
+                ((0, 0), (0, rows8 - nrow), (0, 0)))
+    # f32 rows: Mosaic's alignment prover rejects width-1 dynamic sublane
+    # slices on bf16 refs (the (2,1)-packed tiling has no provable
+    # row-granular alignment) — f32 is the only gatherable element type.
+    # This DOUBLES the resident-table bytes: at the L2 shape (112×256,
+    # 4c=128) the f32 table is 14.9 MB and no longer fits VMEM — the
+    # fused kernel is structurally infeasible there; measure at L3.
+    # Lanes pad to a 128-multiple (HBM→VMEM DMA slices need it).
+    cl = -(-4 * c // 128) * 128
+    z = z.reshape(b, rows8, 4 * c).astype(jnp.float32)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, cl - 4 * c)))
+    z = z.reshape(b * rows8, cl)
 
-    kernel = functools.partial(_fused_kernel, MD, th, h, w, c)
+    kernel = functools.partial(_fused_kernel, MD, th, h, w, c, rows8, cl)
     out = pl.pallas_call(
         kernel,
         grid=(b, h // th),
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, (h + 1) * (w + 1), 4 * c),
-                         lambda bb, ii: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            # per-pixel gather indices live in SMEM: the gather loop reads
+            # them as scalars at (row, col) — dynamic LANE indexing of a
+            # VMEM vector does not lower in Mosaic
             pl.BlockSpec((1, h + 2 * MD, w), lambda bb, ii: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h + 2 * MD, w, 4), lambda bb, ii: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -157,7 +188,9 @@ def fused_warp_corr(f1, f2, flow, th=8, interpret=False):
                                lambda bb, ii: (bb, 0, ii, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ND2, h, w), f1.dtype),
-        scratch_shapes=[pltpu.VMEM((th + 2 * MD, w, 4 * c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows8, cl), jnp.float32),
+                        pltpu.VMEM(((th + 2 * MD) * w, cl), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(f1, z, idx, wv)
     return jnp.transpose(out, (0, 2, 3, 1))
@@ -218,16 +251,24 @@ def main():
     print(f"full-shape fused-vs-composed max abs err: "
           f"{np.abs(got - want).max():.2e} (bf16 rounding)", flush=True)
 
-    def timed(fn, *args, n=20):
-        @jax.jit
-        def loop(*a):
+    def timed(fn, f1, f2, flow, n=20):
+        def loop(f1, f2, flow):
             def body(i, acc):
-                return acc + jnp.float32(
-                    jnp.sum(fn(*a)[:, ::16, ::16, 0])) * 1e-6
+                # perturb the flow per iteration so XLA's loop-invariant
+                # code motion cannot hoist the body (bench.py methodology)
+                out = fn(f1, f2, flow + i.astype(jnp.float32) * 1e-6)
+                return acc + jnp.float32(jnp.sum(out[:, ::16, ::16, 0]))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-        float(loop(*args))  # compile + warm
+        # the fused kernel's VMEM footprint + the while wrapper's buffers
+        # exceed the default 16 MiB scoped-vmem limit by ~1.5 MB; raise it
+        # (physically fine — bench_copts ran the full model at 96 MiB)
+        compiled = (jax.jit(loop)
+                    .lower(f1, f2, flow)
+                    .compile(compiler_options={
+                        "xla_tpu_scoped_vmem_limit_kib": "24576"}))
+        float(compiled(f1, f2, flow))  # warm
         t0 = time.perf_counter()
-        float(loop(*args))
+        float(compiled(f1, f2, flow))
         return (time.perf_counter() - t0) / n
 
     t_comp = timed(composed, f1, f2, flow)
