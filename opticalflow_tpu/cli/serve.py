@@ -28,6 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--bucket-sizes", default="auto", metavar="auto|none|N,..",
+                   help="allowed padded launch sizes; partial batches pad "
+                        "to the smallest fitting bucket so a lone request "
+                        "rides the B=1 program instead of shipping "
+                        "max-batch frames (default auto = powers of two "
+                        "up to max-batch; none = always pad to max-batch, "
+                        "one compile per shape)")
     p.add_argument("--data-parallel", default="1", metavar="N|all",
                    help="shard each dispatched batch across N chips "
                         "(data-parallel mesh; 'all' = every visible device; "
@@ -72,16 +79,32 @@ def main(argv=None) -> int:
         print(f"data-parallel serving over {ndev} devices "
               f"({args.max_batch // ndev} pairs/device/batch)")
     engine = FlowEngine(model, params, flow_scale=args.flow_scale, mesh=mesh)
-    server = FlowServer(engine, max_batch=args.max_batch,
-                        max_delay_ms=args.max_delay_ms, preset=args.preset)
+    if args.bucket_sizes in ("auto", "none"):
+        buckets = None if args.bucket_sizes == "none" else "auto"
+    else:
+        try:
+            buckets = [int(v) for v in args.bucket_sizes.split(",") if v]
+        except ValueError:
+            raise SystemExit(
+                f"--bucket-sizes must be 'auto', 'none' or a comma list of "
+                f"ints, got {args.bucket_sizes!r}")
+    try:
+        server = FlowServer(engine, max_batch=args.max_batch,
+                            max_delay_ms=args.max_delay_ms,
+                            preset=args.preset, bucket_sizes=buckets)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if args.warmup:
         h, w = (int(v) for v in args.warmup.split("x"))
         modes = tuple(m.strip() for m in args.warmup_modes.split(",") if m)
-        # compile the exact programs requests will hit: the padded-batch u8
-        # pipelines at this frame shape, one per size mode
-        engine.warmup(h, w, batch=args.max_batch, preset=args.preset,
-                      size_modes=modes)
-        print(f"warmed up batch={args.max_batch} at {h}x{w} "
+        # compile the exact programs requests will hit: the padded u8
+        # pipelines at this frame shape, one per (size mode, bucket).
+        # Multiple buckets = multiple compiles — one-time per machine via
+        # the persistent XLA cache, but budget startup time accordingly.
+        for b in server.bucket_sizes:
+            engine.warmup(h, w, batch=b, preset=args.preset,
+                          size_modes=modes)
+        print(f"warmed up buckets={server.bucket_sizes} at {h}x{w} "
               f"(modes: {', '.join(modes)})")
     httpd = make_http_server(server, args.host, args.port)
 

@@ -91,19 +91,33 @@ class FlowServer:
         sharded (constructed with ``mesh=...``): every dispatch is padded
         to ``max_batch``, so each launch is divisible by the mesh's data
         axis and rides all chips (``cli/serve.py --data-parallel N``).
-      max_batch: compiled batch size per shape bucket.  Requests are padded
-        up to this, so exactly one XLA program exists per frame shape.
+      max_batch: maximum compiled batch size per shape bucket; the
+        dispatcher never drains more than this many requests per launch.
       max_delay_ms: how long the dispatcher waits after the first queued
         request for the batch to fill before launching anyway.
       preset: preprocessing preset forwarded to the engine.
+      bucket_sizes: allowed padded launch sizes.  Each drained batch is
+        padded up to the SMALLEST allowed bucket that fits, so a lone
+        request rides the B=1 program instead of shipping ``max_batch``×
+        the frame bytes to the device (measured through the relay at
+        Sintel resolution: p50 3.6 s padded to 8 vs 0.34 s at B=1 —
+        PERF.md round 5).  ``"auto"`` (default) = powers of two up to
+        ``max_batch`` plus ``max_batch`` itself, restricted to multiples
+        of the engine mesh's data-axis size when the engine is sharded
+        (every launch must divide over the chips).  ``None`` = the
+        single-program legacy behavior (always pad to ``max_batch`` —
+        one XLA compile per frame shape instead of one per bucket).
+        An explicit sequence is validated the same way.
     """
 
     def __init__(self, engine, *, max_batch: int = 8,
-                 max_delay_ms: float = 5.0, preset: str = "bgr_unit"):
+                 max_delay_ms: float = 5.0, preset: str = "bgr_unit",
+                 bucket_sizes="auto"):
         self.engine = engine
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
         self.preset = preset
+        self.bucket_sizes = self._resolve_buckets(bucket_sizes)
         self.metrics = ServerMetrics()
         self._queue: collections.deque[_Pending] = collections.deque()
         self._cv = threading.Condition()
@@ -111,6 +125,37 @@ class FlowServer:
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="flow-dispatch", daemon=True)
         self._thread.start()
+
+    def _resolve_buckets(self, spec) -> List[int]:
+        """Validated ascending launch sizes, always ending in max_batch."""
+        mesh = getattr(self.engine, "mesh", None)
+        step = mesh.shape["data"] if mesh is not None else 1
+        if self.max_batch < 1 or self.max_batch % step:
+            raise ValueError(
+                f"max_batch {self.max_batch} must be a positive multiple of "
+                f"the engine's data-parallel width {step}")
+        if spec is None:
+            return [self.max_batch]
+        if isinstance(spec, str):
+            if spec != "auto":
+                raise ValueError(
+                    f"bucket_sizes must be 'auto', None or a sequence of "
+                    f"ints, got {spec!r}")
+            sizes = {b for b in (1 << i for i in range(11))
+                     if b < self.max_batch and b % step == 0}
+            return sorted(sizes) + [self.max_batch]
+        sizes = sorted({int(b) for b in spec})
+        for b in sizes:
+            if b < 1 or b > self.max_batch:
+                raise ValueError(
+                    f"bucket size {b} outside [1, max_batch={self.max_batch}]")
+            if b % step:
+                raise ValueError(
+                    f"bucket size {b} must divide over the engine's "
+                    f"data-parallel width {step}")
+        if not sizes or sizes[-1] != self.max_batch:
+            sizes.append(self.max_batch)
+        return sizes
 
     # ------------------------------------------------------------- client
 
@@ -204,8 +249,11 @@ class FlowServer:
             try:
                 im1s = [p.im1 for p in batch]
                 im2s = [p.im2 for p in batch]
-                # pad to the compiled batch size: one XLA program per shape
-                pad = self.max_batch - len(batch)
+                # pad to the smallest allowed bucket: partial batches ship
+                # bucket-sized uploads, not max_batch-sized ones
+                bucket = next(b for b in self.bucket_sizes
+                              if b >= len(batch))
+                pad = bucket - len(batch)
                 im1s += [im1s[-1]] * pad
                 im2s += [im2s[-1]] * pad
                 flows = self.engine.flow_from_pairs(

@@ -7,12 +7,14 @@ and PNG decode on the 1-core host; the octet-stream path posts the two raw
 uint8 frames with an ``X-Frame-Shape`` header (see ``serve.py``).
 
     python scripts/serve_load.py [H W] [clients] [reqs_per_client] [dp] \
-                                 [max_batch] [max_delay_ms]
+                                 [max_batch] [max_delay_ms] [buckets]
 
 ``clients=1`` with ``max_delay_ms=0`` measures single-request latency
 (p50 = the serving-path time-to-result through the relay, VERDICT r4
 task 3); ``max_batch=1`` additionally compiles the B=1 program instead
-of padding each lone request to 8.
+of padding each lone request to 8.  ``buckets`` is ``auto`` (default:
+power-of-two launch sizes — lone requests ride the B=1 program) or
+``none`` (legacy: every launch padded to max_batch) or a comma list.
 
 ``dp`` ≥ 1 routes dispatch through the data-parallel mesh code path
 (NamedSharding over the first ``dp`` devices; on a single chip dp=1 still
@@ -102,6 +104,9 @@ def main():
     dp = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     max_batch = int(sys.argv[6]) if len(sys.argv) > 6 else 8
     delay_ms = float(sys.argv[7]) if len(sys.argv) > 7 else 20.0
+    bspec = sys.argv[8] if len(sys.argv) > 8 else "auto"
+    buckets = (None if bspec == "none" else "auto" if bspec == "auto"
+               else [int(v) for v in bspec.split(",")])
 
     import jax
     import jax.numpy as jnp
@@ -121,17 +126,19 @@ def main():
         print(f"sharded dispatch over {dp} device(s)", flush=True)
     engine = FlowEngine(model, params, flow_scale=20.0, mesh=mesh)
     server = FlowServer(engine, max_batch=max_batch, max_delay_ms=delay_ms,
-                        preset="bgr_unit")
+                        preset="bgr_unit", bucket_sizes=buckets)
     httpd = make_http_server(server, "127.0.0.1", 0)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 255, (h, w, 3), np.uint8) for _ in range(4)]
-    print(f"warmup compile at {h}x{w} (batch {max_batch}) ...", flush=True)
+    print(f"warmup compile at {h}x{w} (buckets {server.bucket_sizes}) ...",
+          flush=True)
     t0 = time.perf_counter()
-    engine.flow_from_pairs([frames[0]] * max_batch, [frames[1]] * max_batch,
-                           preset="bgr_unit", size_mode="resize")
+    for b in server.bucket_sizes:
+        engine.flow_from_pairs([frames[0]] * b, [frames[1]] * b,
+                               preset="bgr_unit", size_mode="resize")
     print(f"warm in {time.perf_counter() - t0:.1f}s", flush=True)
 
     try:

@@ -54,8 +54,10 @@ def test_concurrent_requests_share_a_batch():
             exp = (_img(i).astype(np.float32).mean()
                    + _img(100 + i).astype(np.float32).mean())
             np.testing.assert_allclose(results[i][0, 0, 0], exp, rtol=1e-6)
-        # all four rode few launches; every launch padded to max_batch
-        assert sum(eng.calls) <= 4 * 4 and all(c == 4 for c in eng.calls)
+        # all four rode few launches; every launch padded to an allowed
+        # bucket size (auto buckets for max_batch=4: 1, 2, 4)
+        assert sum(eng.calls) <= 4 * 4
+        assert all(c in (1, 2, 4) for c in eng.calls)
         snap = srv.metrics.snapshot()
         assert snap["requests"] == 4
         assert snap["mean_batch_occupancy"] >= 1.0
@@ -83,6 +85,80 @@ def test_mixed_shapes_bucketed_not_mixed():
         assert shapes == {(8, 12, 2), (16, 12, 2)}
     finally:
         srv.close()
+
+
+def test_bucketed_dispatch_pads_to_smallest_bucket():
+    """A lone request must ride the B=1 program, not ship max_batch frames
+    (the measured 10× single-request relay penalty, PERF.md round 5)."""
+    from opticalflow_tpu.serve import FlowServer
+    eng = _FakeEngine()
+    srv = FlowServer(eng, max_batch=8, max_delay_ms=1)
+    try:
+        assert srv.bucket_sizes == [1, 2, 4, 8]
+        srv.flow(_img(0), _img(1), timeout=10)
+        assert eng.calls == [1]          # not padded to 8
+
+        # three concurrent requests pad to the 4-bucket (or split across
+        # smaller buckets under timing races — never a non-bucket size)
+        outs = {}
+
+        def call(i):
+            outs[i] = srv.flow(_img(i), _img(40 + i), timeout=10)
+
+        srv.max_delay = 0.2              # let them share a batch
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(outs) == 3
+        assert all(c in (1, 2, 4, 8) for c in eng.calls[1:])
+    finally:
+        srv.close()
+
+
+def test_bucket_sizes_resolution_and_validation():
+    from types import SimpleNamespace
+
+    from opticalflow_tpu.serve import FlowServer
+    eng = _FakeEngine()
+
+    # legacy single-program behavior: always pad to max_batch
+    srv = FlowServer(eng, max_batch=8, max_delay_ms=1, bucket_sizes=None)
+    try:
+        assert srv.bucket_sizes == [8]
+        srv.flow(_img(0), _img(1), timeout=10)
+        assert eng.calls == [8]
+    finally:
+        srv.close()
+
+    # explicit list: sorted, max_batch appended
+    srv = FlowServer(eng, max_batch=6, max_delay_ms=1, bucket_sizes=[2, 1])
+    try:
+        assert srv.bucket_sizes == [1, 2, 6]
+    finally:
+        srv.close()
+
+    # invalid specs fail loudly at construction
+    for bad in ([0], [9], "banana", [3, -1]):
+        with pytest.raises(ValueError):
+            FlowServer(eng, max_batch=8, bucket_sizes=bad)
+
+    # sharded engine: buckets restricted to multiples of the data axis
+    sharded = _FakeEngine()
+    sharded.mesh = SimpleNamespace(shape={"data": 4})
+    srv = FlowServer(sharded, max_batch=8, max_delay_ms=1)
+    try:
+        assert srv.bucket_sizes == [4, 8]
+        srv.flow(_img(0), _img(1), timeout=10)
+        assert sharded.calls == [4]      # lone request -> smallest multiple
+    finally:
+        srv.close()
+    with pytest.raises(ValueError):      # bucket not divisible by the mesh
+        FlowServer(sharded, max_batch=8, bucket_sizes=[2, 8])
+    with pytest.raises(ValueError):      # max_batch itself must divide
+        FlowServer(sharded, max_batch=6)
 
 
 def test_error_propagates_and_server_survives():
