@@ -72,6 +72,22 @@ def resolve_blocked_lvl1(flag, pair_batch: int) -> bool:
         return pair_batch < _BLOCKED_AUTO_MAX_BATCH
     return bool(flag)
 
+
+# fuse_up_deconvs="auto" crossover: the fused 4-lane [deconv|upfeat] write
+# wins (slightly) at pair-batch >= this, but its padded T(2,128) output
+# tiles dominate the tiny-batch step — at B=1 it is the single largest op
+# in the device profile.  448×1024 sweep (PERF.md round-5): unfused is
+# +9% at B=1, +5.6% at B=2, neutral at B=4, −1.2% at B=8.
+_FUSE_UP_AUTO_MIN_BATCH = 4
+
+
+def resolve_fuse_up(flag, pair_batch: int) -> bool:
+    """Resolve ``fuse_up_deconvs`` ("auto" | bool) for a given pair-batch
+    (static per-shape decision, like :func:`resolve_blocked_lvl1`)."""
+    if flag == "auto":
+        return pair_batch >= _FUSE_UP_AUTO_MIN_BATCH
+    return bool(flag)
+
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
@@ -212,7 +228,10 @@ class PWCDCNet(nn.Module):
     # deconv over [flow | xfeat] with a block kernel — halves the 2-lane
     # T(2,128) writes and the [up_flow|up_feat] block enters the next
     # level's input concat unsliced. Exact; param tree unchanged.
-    fuse_up_deconvs: bool = True
+    # "auto" (default) fuses at pair-batch >= 4: at tiny batch the fused
+    # write's padded output tiles are the profile's largest op (unfused is
+    # +9% at B=1, +5.6% at B=2; neutral at 4, −1.2% at 8 — PERF.md r5).
+    fuse_up_deconvs: Any = "auto"
 
     def _corr(self, a, b):
         # the kernel accumulates in f32 internally; bf16 inputs ride as-is
@@ -496,7 +515,8 @@ class PWCDCNet(nn.Module):
         c2 = {lvl: f[bsz:] for lvl, f in zip(range(1, 7), feats)
               if f is not None}
 
-        fuse_up = self.fuse_up_deconvs and self.precision == "fast"
+        fuse_up = (resolve_fuse_up(self.fuse_up_deconvs, bsz)
+                   and self.precision == "fast")
         flows = {}
         up_flow = None
         up_feat = None

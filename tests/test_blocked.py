@@ -269,6 +269,31 @@ def test_resolve_blocked_lvl1_auto():
     assert resolve_blocked_lvl1(False, 1) is False
 
 
+def test_resolve_fuse_up_auto():
+    from opticalflow_tpu.models.pwcnet import (_FUSE_UP_AUTO_MIN_BATCH,
+                                               resolve_fuse_up)
+    assert resolve_fuse_up("auto", 1) is False
+    assert resolve_fuse_up("auto", _FUSE_UP_AUTO_MIN_BATCH - 1) is False
+    assert resolve_fuse_up("auto", _FUSE_UP_AUTO_MIN_BATCH) is True
+    assert resolve_fuse_up("auto", 8) is True
+    assert resolve_fuse_up(True, 1) is True
+    assert resolve_fuse_up(False, 64) is False
+
+
+def test_fuse_up_auto_is_exact_across_the_threshold():
+    """The default "auto" flag must produce identical outputs on either
+    side of its batch threshold (same params, fused vs unfused program)."""
+    from opticalflow_tpu.models.pwcnet import (_FUSE_UP_AUTO_MIN_BATCH,
+                                               PWCDCNet)
+    b = _FUSE_UP_AUTO_MIN_BATCH
+    x = _rand((b, 64, 64, 6), 92) * 0.2 + 0.5
+    m = PWCDCNet(variant="new", precision="fast", use_pallas_corr=False)
+    params = _jinit(m, jax.random.PRNGKey(0), x[:1])
+    big = np.asarray(_japply(m)(params, x))        # fused program (B >= 4)
+    one = np.asarray(_japply(m)(params, x[:1]))    # unfused program (B=1)
+    np.testing.assert_allclose(one, big[:1], atol=1e-5, rtol=1e-4)
+
+
 def test_model_auto_matches_explicit_small_batch():
     """"auto" at a small batch must produce the blocked graph's numbers
     (which test_model_blocked_lvl1_matches_unblocked ties to the plain
