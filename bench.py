@@ -140,8 +140,10 @@ def main() -> None:
     # Single-pair device latency (VERDICT r4 task 3): the canonical contract
     # is a single-pair CLI (reference script_pwc.py:34-39), so B=1 on-device
     # latency is a scoreboard metric alongside the batched throughput.
-    # Same chained-loop methodology; one pair per device.
-    x1 = x0[:n_dev]
+    # Same chained-loop methodology; B=1 on ONE device (x0 is unsharded, so
+    # slicing n_dev rows would time a batch-n_dev single-device program —
+    # and a different auto-flag graph — on multi-device hosts).
+    x1 = x0[:1]
     try:
         t0 = time.perf_counter()
         float(bench(params, x1))  # compile (cached via seed) + warm

@@ -39,23 +39,15 @@ def main(argv=None) -> int:
     from opticalflow_tpu.engine import FlowEngine
     from opticalflow_tpu.evaluate import evaluate_sintel
     from opticalflow_tpu.models.pwcnet import PWCDCNet
-    from opticalflow_tpu.parallel.mesh import resolve_data_parallel
+    from opticalflow_tpu.parallel.mesh import (check_eval_cli_mesh_args,
+                                               resolve_data_parallel)
     from opticalflow_tpu.train.checkpoints import load_params
 
     try:
         mesh = resolve_data_parallel(args.data_parallel)
     except ValueError as e:
         raise SystemExit(str(e))
-    if mesh is not None and args.dispatch_chunk is not None:
-        raise SystemExit(
-            "--dispatch-chunk is a single-chip scheduling lever; it is "
-            "mutually exclusive with --data-parallel (the mesh shards each "
-            "batch instead)")
-    if mesh is not None and args.batch % mesh.shape["data"]:
-        raise SystemExit(
-            f"--batch {args.batch} must be divisible by the data-parallel "
-            f"width {mesh.shape['data']} (each evaluation batch is sharded "
-            f"over the mesh)")
+    check_eval_cli_mesh_args(mesh, args.dispatch_chunk, args.batch)
     model = PWCDCNet(variant=args.variant)
     params = load_params(args.ckpt, variant=args.variant)
     engine = FlowEngine(model, params, flow_scale=args.flow_scale,

@@ -101,9 +101,7 @@ def main(argv=None) -> int:
         # pipelines at this frame shape, one per (size mode, bucket).
         # Multiple buckets = multiple compiles — one-time per machine via
         # the persistent XLA cache, but budget startup time accordingly.
-        for b in server.bucket_sizes:
-            engine.warmup(h, w, batch=b, preset=args.preset,
-                          size_modes=modes)
+        server.warmup(h, w, size_modes=modes)
         print(f"warmed up buckets={server.bucket_sizes} at {h}x{w} "
               f"(modes: {', '.join(modes)})")
     httpd = make_http_server(server, args.host, args.port)

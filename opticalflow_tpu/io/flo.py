@@ -54,8 +54,12 @@ def read_flo(path: str) -> np.ndarray:
         if not (0 < w < 10**6 and 0 < h < 10**6):
             raise ValueError(f"{path}: implausible .flo dimensions "
                              f"{w}x{h}")
-        data = np.frombuffer(f.read(h * w * 2 * 4), dtype="<f4")
-    if data.size != h * w * 2:
-        raise ValueError(f"{path}: truncated .flo ({data.size} values, "
-                         f"expected {h * w * 2})")
+        raw = f.read(h * w * 2 * 4)
+    if len(raw) != h * w * 2 * 4:
+        # length check BEFORE frombuffer: a payload truncated off a 4-byte
+        # boundary would otherwise raise numpy's bare "buffer size must be
+        # a multiple of element size" with no path
+        raise ValueError(f"{path}: truncated .flo ({len(raw)} payload "
+                         f"bytes, expected {h * w * 2 * 4})")
+    data = np.frombuffer(raw, dtype="<f4")
     return data.reshape(h, w, 2).copy()

@@ -119,6 +119,27 @@ def resolve_data_parallel(spec: str) -> Optional[Mesh]:
     return make_mesh(jax.devices()[:ndev])
 
 
+def check_eval_cli_mesh_args(mesh: Optional[Mesh], dispatch_chunk,
+                             batch: int) -> None:
+    """Shared fail-fast validation for the eval CLIs' mesh-adjacent flags
+    (before any checkpoint load).  One site for the invariants that
+    ``FlowEngine.__init__`` / ``flow_from_batch`` would otherwise surface
+    later as tracebacks: ``--dispatch-chunk`` is single-chip-only, and the
+    eval batch must divide over the mesh."""
+    if mesh is None:
+        return
+    if dispatch_chunk is not None:
+        raise SystemExit(
+            "--dispatch-chunk is a single-chip scheduling lever; it is "
+            "mutually exclusive with --data-parallel (the mesh shards each "
+            "batch instead)")
+    if batch % mesh.shape["data"]:
+        raise SystemExit(
+            f"--batch {batch} must be divisible by the data-parallel "
+            f"width {mesh.shape['data']} (each evaluation batch is sharded "
+            f"over the mesh)")
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

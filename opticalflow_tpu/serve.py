@@ -88,9 +88,9 @@ class FlowServer:
 
     Args:
       engine: a ready :class:`~opticalflow_tpu.engine.FlowEngine`.  May be
-        sharded (constructed with ``mesh=...``): every dispatch is padded
-        to ``max_batch``, so each launch is divisible by the mesh's data
-        axis and rides all chips (``cli/serve.py --data-parallel N``).
+        sharded (constructed with ``mesh=...``): every launch is padded to
+        a bucket divisible by the mesh's data axis, so each dispatch rides
+        all chips (``cli/serve.py --data-parallel N``).
       max_batch: maximum compiled batch size per shape bucket; the
         dispatcher never drains more than this many requests per launch.
       max_delay_ms: how long the dispatcher waits after the first queued
@@ -108,6 +108,18 @@ class FlowServer:
         single-program legacy behavior (always pad to ``max_batch`` —
         one XLA compile per frame shape instead of one per bucket).
         An explicit sequence is validated the same way.
+
+        Each bucket is its own XLA program: a bucket's first request pays
+        a full-model compile (minutes on a cold cache) on the dispatch
+        thread.  Call :meth:`warmup` (or ``cli/serve.py --warmup``, which
+        does) before taking traffic.
+
+        On a MULTI-PROCESS mesh the buckets collapse to ``[max_batch]``
+        regardless of ``spec``: every rank's dispatch thread drains its
+        own queue, and rank-local queue depths would pick different
+        buckets — i.e. different global SPMD programs — deadlocking the
+        cross-host collective.  Lockstep requires one program, so every
+        launch pads to ``max_batch`` there (the pre-bucket behavior).
     """
 
     def __init__(self, engine, *, max_batch: int = 8,
@@ -134,6 +146,12 @@ class FlowServer:
             raise ValueError(
                 f"max_batch {self.max_batch} must be a positive multiple of "
                 f"the engine's data-parallel width {step}")
+        if mesh is not None:
+            import jax
+            if jax.process_count() > 1:
+                # multi-process lockstep: rank-local queue depths must not
+                # select different global programs (see class docstring)
+                return [self.max_batch]
         if spec is None:
             return [self.max_batch]
         if isinstance(spec, str):
@@ -156,6 +174,17 @@ class FlowServer:
         if not sizes or sizes[-1] != self.max_batch:
             sizes.append(self.max_batch)
         return sizes
+
+    def warmup(self, height: int, width: int,
+               size_modes=("resize", "pad"), **kw) -> None:
+        """Pre-compile the engine programs requests will hit, one per
+        (size mode, bucket).  Without this, a bucket's first request pays
+        a minutes-long full-model compile on the dispatch thread, stalling
+        everything queued behind it.  Extra kwargs forward to
+        :meth:`FlowEngine.warmup` (e.g. ``image_size=``)."""
+        for b in self.bucket_sizes:
+            self.engine.warmup(height, width, batch=b, preset=self.preset,
+                               size_modes=size_modes, **kw)
 
     # ------------------------------------------------------------- client
 

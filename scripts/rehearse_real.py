@@ -167,7 +167,6 @@ def main(argv=None) -> int:
                      delta <= EPE_DELTA_BUDGET))
 
     # 3. Sintel clean/final EPE ----------------------------------------
-    published_ok = True
     if args.sintel_root:
         from opticalflow_tpu.evaluate import evaluate_sintel
         for render in args.renders:
@@ -176,7 +175,6 @@ def main(argv=None) -> int:
                                   limit=args.limit)
             target = SINTEL_PUBLISHED[render]
             ok = abs(res["epe"] - target) <= PUBLISHED_TOL
-            published_ok &= ok
             partial = f" (first {args.limit})" if args.limit else ""
             rows.append((f"Sintel {render} EPE{partial}",
                          f"{res['epe']:.3f} (published {target:.2f} "

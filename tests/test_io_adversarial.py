@@ -25,10 +25,14 @@ def test_flo_wrong_magic(tmp_path):
         read_flo(str(p))
 
 
-def test_flo_truncated_payload(tmp_path):
+@pytest.mark.parametrize("payload", (8 * 8 * 2 * 4 // 2, 7),
+                         ids=("half", "off-4-byte-boundary"))
+def test_flo_truncated_payload(tmp_path, payload):
+    # 7 bytes: truncation off a 4-byte boundary once surfaced numpy's bare
+    # "buffer size must be a multiple of element size" with no path
     p = tmp_path / "trunc.flo"
     good = struct.pack("<fii", TAG_FLOAT, 8, 8)
-    p.write_bytes(good + b"\x00" * (8 * 8 * 2 * 4 // 2))  # half the payload
+    p.write_bytes(good + b"\x00" * payload)
     with pytest.raises(ValueError, match="truncated"):
         read_flo(str(p))
 
