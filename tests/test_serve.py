@@ -161,6 +161,28 @@ def test_bucket_sizes_resolution_and_validation():
         FlowServer(sharded, max_batch=6)
 
 
+def test_server_warmup_compiles_every_bucket():
+    """warmup() must pre-compile one program per bucket — a bucket's first
+    request otherwise pays a minutes-long compile on the dispatch thread."""
+    from opticalflow_tpu.serve import FlowServer
+
+    class _Warm(_FakeEngine):
+        def __init__(self):
+            super().__init__()
+            self.warmed = []
+
+        def warmup(self, height, width, *, batch, preset, size_modes):
+            self.warmed.append((height, width, batch, tuple(size_modes)))
+
+    eng = _Warm()
+    srv = FlowServer(eng, max_batch=8, max_delay_ms=1, preset="bgr_unit")
+    try:
+        srv.warmup(48, 64, size_modes=("resize",))
+        assert eng.warmed == [(48, 64, b, ("resize",)) for b in (1, 2, 4, 8)]
+    finally:
+        srv.close()
+
+
 def test_error_propagates_and_server_survives():
     from opticalflow_tpu.serve import FlowServer
 
