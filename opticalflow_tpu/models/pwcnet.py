@@ -83,9 +83,18 @@ _FUSE_UP_AUTO_MIN_BATCH = 4
 
 def resolve_fuse_up(flag, pair_batch: int) -> bool:
     """Resolve ``fuse_up_deconvs`` ("auto" | bool) for a given pair-batch
-    (static per-shape decision, like :func:`resolve_blocked_lvl1`)."""
+    (static per-shape decision, like :func:`resolve_blocked_lvl1`).
+
+    Under a SYMBOLIC batch (``jax.export`` shape polymorphism) the
+    comparison is inconclusive; unlike blocked-lvl1 — whose two graphs
+    differ structurally, so the export caller must pin the flag — the
+    fused form is exact and batch-generic, so "auto" falls back to fused
+    there and the artifact stays usable at every batch size."""
     if flag == "auto":
-        return pair_batch >= _FUSE_UP_AUTO_MIN_BATCH
+        try:
+            return bool(pair_batch >= _FUSE_UP_AUTO_MIN_BATCH)
+        except Exception:   # InconclusiveDimensionOperation on symbolic dims
+            return True
     return bool(flag)
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
