@@ -70,14 +70,11 @@ def main(argv=None) -> int:
     except ValueError as e:
         raise SystemExit(str(e))
     if mesh is not None:
+        # max-batch/bucket divisibility by the mesh width is validated by
+        # FlowServer._resolve_buckets below (ValueError -> SystemExit)
         ndev = mesh.shape["data"]
-        if args.max_batch % ndev:
-            raise SystemExit(
-                f"--max-batch {args.max_batch} must be divisible by the "
-                f"data-parallel width {ndev} (every dispatch is padded to "
-                f"max-batch and sharded over the mesh)")
         print(f"data-parallel serving over {ndev} devices "
-              f"({args.max_batch // ndev} pairs/device/batch)")
+              f"(max {-(-args.max_batch // ndev)} pairs/device/batch)")
     engine = FlowEngine(model, params, flow_scale=args.flow_scale, mesh=mesh)
     if args.bucket_sizes in ("auto", "none"):
         buckets = None if args.bucket_sizes == "none" else "auto"

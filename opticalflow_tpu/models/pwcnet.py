@@ -91,9 +91,10 @@ def resolve_fuse_up(flag, pair_batch: int) -> bool:
     fused form is exact and batch-generic, so "auto" falls back to fused
     there and the artifact stays usable at every batch size."""
     if flag == "auto":
+        from jax.core import InconclusiveDimensionOperation
         try:
             return bool(pair_batch >= _FUSE_UP_AUTO_MIN_BATCH)
-        except Exception:   # InconclusiveDimensionOperation on symbolic dims
+        except InconclusiveDimensionOperation:
             return True
     return bool(flag)
 

@@ -10,8 +10,9 @@ dependency-free component:
     and a single dispatch thread.  Incoming pairs queue up; the dispatcher
     drains up to ``max_batch`` requests (waiting at most ``max_delay_ms``
     after the first), groups them by frame shape, pads each group to the
-    fixed compiled batch size (one XLA program per shape, ever), and
-    fans results back out to the waiting callers.
+    smallest allowed bucket size (one XLA program per (shape, bucket) —
+    powers of two up to ``max_batch`` by default, so a lone request rides
+    the B=1 program), and fans results back out to the waiting callers.
   * :func:`make_http_server` — a stdlib ``ThreadingHTTPServer`` front:
     ``POST /v1/flow`` with a JSON body ``{"im1": <b64 PNG/JPG>, "im2":
     <b64>, "size_mode": "resize"}`` returns the flow as a Middlebury
@@ -146,33 +147,37 @@ class FlowServer:
             raise ValueError(
                 f"max_batch {self.max_batch} must be a positive multiple of "
                 f"the engine's data-parallel width {step}")
-        if mesh is not None:
-            import jax
-            if jax.process_count() > 1:
-                # multi-process lockstep: rank-local queue depths must not
-                # select different global programs (see class docstring)
-                return [self.max_batch]
         if spec is None:
-            return [self.max_batch]
-        if isinstance(spec, str):
+            sizes = [self.max_batch]
+        elif isinstance(spec, str):
             if spec != "auto":
                 raise ValueError(
                     f"bucket_sizes must be 'auto', None or a sequence of "
                     f"ints, got {spec!r}")
-            sizes = {b for b in (1 << i for i in range(11))
-                     if b < self.max_batch and b % step == 0}
-            return sorted(sizes) + [self.max_batch]
-        sizes = sorted({int(b) for b in spec})
-        for b in sizes:
-            if b < 1 or b > self.max_batch:
-                raise ValueError(
-                    f"bucket size {b} outside [1, max_batch={self.max_batch}]")
-            if b % step:
-                raise ValueError(
-                    f"bucket size {b} must divide over the engine's "
-                    f"data-parallel width {step}")
-        if not sizes or sizes[-1] != self.max_batch:
+            sizes = sorted(b for b in (1 << i for i in range(11))
+                           if b < self.max_batch and b % step == 0)
             sizes.append(self.max_batch)
+        else:
+            sizes = sorted({int(b) for b in spec})
+            for b in sizes:
+                if b < 1 or b > self.max_batch:
+                    raise ValueError(
+                        f"bucket size {b} outside "
+                        f"[1, max_batch={self.max_batch}]")
+                if b % step:
+                    raise ValueError(
+                        f"bucket size {b} must divide over the engine's "
+                        f"data-parallel width {step}")
+            if not sizes or sizes[-1] != self.max_batch:
+                sizes.append(self.max_batch)
+        if mesh is not None:
+            # validate the spec FIRST (a bad spec must fail on every
+            # topology), then collapse: multi-process lockstep — rank-local
+            # queue depths must not select different global programs (see
+            # class docstring)
+            import jax
+            if jax.process_count() > 1:
+                return [self.max_batch]
         return sizes
 
     def warmup(self, height: int, width: int,

@@ -136,9 +136,7 @@ def main():
     print(f"warmup compile at {h}x{w} (buckets {server.bucket_sizes}) ...",
           flush=True)
     t0 = time.perf_counter()
-    for b in server.bucket_sizes:
-        engine.flow_from_pairs([frames[0]] * b, [frames[1]] * b,
-                               preset="bgr_unit", size_mode="resize")
+    server.warmup(h, w, size_modes=("resize",))
     print(f"warm in {time.perf_counter() - t0:.1f}s", flush=True)
 
     try:
