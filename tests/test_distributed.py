@@ -101,6 +101,11 @@ model = PWCDCNet(variant="new", precision="fast")
 params = jax.jit(model.init)(jax.random.PRNGKey(0),
                              jnp.zeros((1, 64, 64, 6)))["params"]
 mesh = meshlib.make_mesh()
+# De-skew BEFORE engine construction: FlowEngine's params device_put is
+# itself a cross-process collective (jax asserts input equality via a
+# process allgather), and the init compile above can finish minutes apart
+# across ranks on a 1-core host — blowing Gloo's 30 s context-init window.
+meshlib.barrier("post_init")
 engine = FlowEngine(model, params, mesh=mesh)
 
 # Both processes feed the SAME global batch; the engine shards it over the
@@ -110,13 +115,16 @@ im1s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(8)]
 im2s = [rng.randint(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(8)]
 gts = [rng.randn(64, 64, 2).astype(np.float32) for _ in range(8)]
 
-# Compile the forward FIRST (no collective inside: pure DP), then
-# rendezvous — the first Gloo collective (the output all-gather in
-# _fetch) has a short context-init window and a compile finishing
-# minutes apart across ranks would blow it.
+# AOT-compile the forward FIRST (no execution!), then rendezvous.
+# Actually RUNNING the program here would device_put the host batch onto
+# the multi-process sharding, which asserts cross-process input equality
+# via a Gloo allgather — and with ranks minutes apart mid-compile on a
+# 1-core host, that first context init blows its 30 s window.  The same
+# reason the train worker uses step.lower(...).compile().
 x = np.stack([np.concatenate((a, b), axis=-1) for a, b in zip(im1s, im2s)])
-jax.block_until_ready(engine._full_pad_u8(engine.params, jnp.asarray(x),
-                                          "bgr_unit", 64, 64))
+engine._full_pad_u8.lower(engine.params,
+                          jax.ShapeDtypeStruct(x.shape, x.dtype),
+                          "bgr_unit", 64, 64).compile()
 meshlib.barrier("post_forward_compile")
 
 # --- direct sharded inference, output gathered to every host
