@@ -59,6 +59,17 @@ def main(argv=None) -> int:
     from opticalflow_tpu.serve import FlowServer, make_http_server
     from opticalflow_tpu.train.checkpoints import load_params
 
+    # parse flag-shaped mistakes BEFORE the checkpoint load (fail fast;
+    # range/divisibility validation happens in FlowServer._resolve_buckets)
+    if args.bucket_sizes in ("auto", "none"):
+        buckets = None if args.bucket_sizes == "none" else "auto"
+    else:
+        try:
+            buckets = [int(v) for v in args.bucket_sizes.split(",") if v]
+        except ValueError:
+            raise SystemExit(
+                f"--bucket-sizes must be 'auto', 'none' or a comma list of "
+                f"ints, got {args.bucket_sizes!r}")
     model = PWCDCNet(
         variant=args.variant,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
@@ -76,15 +87,6 @@ def main(argv=None) -> int:
         print(f"data-parallel serving over {ndev} devices "
               f"(max {-(-args.max_batch // ndev)} pairs/device/batch)")
     engine = FlowEngine(model, params, flow_scale=args.flow_scale, mesh=mesh)
-    if args.bucket_sizes in ("auto", "none"):
-        buckets = None if args.bucket_sizes == "none" else "auto"
-    else:
-        try:
-            buckets = [int(v) for v in args.bucket_sizes.split(",") if v]
-        except ValueError:
-            raise SystemExit(
-                f"--bucket-sizes must be 'auto', 'none' or a comma list of "
-                f"ints, got {args.bucket_sizes!r}")
     try:
         server = FlowServer(engine, max_batch=args.max_batch,
                             max_delay_ms=args.max_delay_ms,

@@ -222,3 +222,16 @@ def test_serve_cli_parser():
                                    "--max-batch", "4", "--warmup", "436x1024"])
     assert (a.max_batch, a.port, a.warmup) == (4, 0, "436x1024")
     assert a.dtype == "bfloat16"  # serving defaults to the fast path
+    assert a.bucket_sizes == "auto"  # lone requests ride the B=1 program
+
+
+def test_serve_cli_bad_bucket_sizes_exit_cleanly():
+    """Malformed --bucket-sizes specs must exit with a message before any
+    checkpoint load or compile, not surface as a traceback."""
+    import pytest
+    from opticalflow_tpu.cli.serve import main
+    base = ["--ckpt", "/nonexistent.pth.tar", "--port", "0"]
+    for spec in ("banana,1", "1,banana"):
+        with pytest.raises(SystemExit) as ei:
+            main(base + ["--bucket-sizes", spec])
+        assert "bucket-sizes" in str(ei.value.code)
