@@ -59,8 +59,9 @@ def main(argv=None) -> int:
     from opticalflow_tpu.serve import FlowServer, make_http_server
     from opticalflow_tpu.train.checkpoints import load_params
 
-    # parse flag-shaped mistakes BEFORE the checkpoint load (fail fast;
-    # range/divisibility validation happens in FlowServer._resolve_buckets)
+    # flag-shaped mistakes fail BEFORE the checkpoint load: bucket spec
+    # parse + range (mesh divisibility is re-checked by
+    # FlowServer._resolve_buckets) and the --data-parallel spec
     if args.bucket_sizes in ("auto", "none"):
         buckets = None if args.bucket_sizes == "none" else "auto"
     else:
@@ -70,16 +71,21 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"--bucket-sizes must be 'auto', 'none' or a comma list of "
                 f"ints, got {args.bucket_sizes!r}")
-    model = PWCDCNet(
-        variant=args.variant,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        precision="fast" if args.dtype == "bfloat16" else "highest")
-    params = load_params(args.ckpt, variant=args.variant)
+        for b in buckets:
+            if b < 1 or b > args.max_batch:
+                raise SystemExit(
+                    f"--bucket-sizes value {b} outside "
+                    f"[1, max-batch={args.max_batch}]")
     from opticalflow_tpu.parallel.mesh import resolve_data_parallel
     try:
         mesh = resolve_data_parallel(args.data_parallel)
     except ValueError as e:
         raise SystemExit(str(e))
+    model = PWCDCNet(
+        variant=args.variant,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        precision="fast" if args.dtype == "bfloat16" else "highest")
+    params = load_params(args.ckpt, variant=args.variant)
     if mesh is not None:
         # max-batch/bucket divisibility by the mesh width is validated by
         # FlowServer._resolve_buckets below (ValueError -> SystemExit)

@@ -100,17 +100,14 @@ class FlowEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._x_sharding = NamedSharding(mesh, P("data"))
-            if jax.process_count() > 1:
-                # each process contributes its own replica: device_put on a
-                # multi-process sharding first ASSERTS input equality via a
-                # process allgather, whose Gloo context init allows only
-                # 30 s — checkpoint-load/compile skew across ranks on slow
-                # hosts blows it (every process loads the same checkpoint,
-                # so the equality check buys nothing here)
-                from opticalflow_tpu.parallel.mesh import _from_process_local
-                params = _from_process_local(params, NamedSharding(mesh, P()))
-            else:
-                params = jax.device_put(params, NamedSharding(mesh, P()))
+            # process-aware replication: multi-process placement assembles
+            # each host's replica locally (jax.device_put would assert
+            # cross-process equality via a Gloo allgather whose 30 s
+            # context-init window is blown by checkpoint-load/compile skew)
+            # and instead verifies equality through the coordination
+            # service, failing loudly on divergent checkpoints.
+            from opticalflow_tpu.parallel.mesh import replicate
+            params = replicate(params, mesh)
             # multi-PROCESS fetch: a batch-sharded output spans devices this
             # process cannot address, so np.asarray would raise.  An identity
             # program with a replicated out_sharding makes XLA emit the

@@ -15,6 +15,7 @@ SURVEY.md §2.9 "sequence parallel" row).
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional, Sequence
 
 import jax
@@ -163,13 +164,60 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 
+_EQ_TAGS = itertools.count()
+
+
+def _assert_equal_across_processes(fingerprint: str) -> None:
+    """Raise on every process if ``fingerprint`` differs from process 0's.
+
+    Rides the coordination service (generous timeout), NOT a device
+    collective: ``jax.device_put`` onto a multi-process sharding performs
+    the same check via a Gloo allgather whose 30 s context-init window is
+    routinely blown by checkpoint-load/compile skew between ranks — the
+    reason :func:`replicate` assembles process-local data instead.  Every
+    process must call this the same number of times (tags are a counter)."""
+    from jax._src import distributed as _distributed
+    client = _distributed.global_state.client
+    if client is None:
+        return
+    tag = next(_EQ_TAGS)
+    client.key_value_set(f"oftpu_eq/{tag}/{jax.process_index()}", fingerprint)
+    ref = client.blocking_key_value_get(f"oftpu_eq/{tag}/0", 1800_000)
+    if ref != fingerprint:
+        raise ValueError(
+            f"process {jax.process_index()} holds different replicated "
+            f"values than process 0 (fingerprint {fingerprint[:12]} vs "
+            f"{ref[:12]}) — e.g. a stale or mismatched checkpoint on this "
+            f"host; every process must load identical params")
+
+
 def replicate(tree, mesh: Mesh):
     """Place a host pytree fully replicated on the mesh (params, opt state);
     process-aware like :func:`shard_batch` (every process passes the same
-    values)."""
+    values).  Leaves that are already global (non-fully-addressable) jax
+    Arrays pass through untouched — their shards span devices this process
+    cannot read, and they were necessarily placed by an equivalent
+    cross-process assembly already.  Multi-process placement verifies the
+    host data is identical across processes (loudly, via the coordination
+    service) before assembling — divergent checkpoints would otherwise
+    silently serve mixed-weight garbage."""
     sh = replicated(mesh)
     if jax.process_count() > 1:
-        return _from_process_local(tree, sh)
+        import hashlib
+        digest = hashlib.sha256()
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                continue
+            a = np.asarray(leaf)
+            digest.update(str(path).encode())
+            digest.update(str(a.shape).encode() + str(a.dtype).encode())
+            digest.update(a.tobytes())
+        _assert_equal_across_processes(digest.hexdigest())
+        return jax.tree.map(
+            lambda a: a if (isinstance(a, jax.Array)
+                            and not a.is_fully_addressable)
+            else jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            tree)
     return jax.device_put(tree, sh)
 
 

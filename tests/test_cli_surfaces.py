@@ -228,7 +228,6 @@ def test_serve_cli_parser():
 def test_serve_cli_bad_bucket_sizes_exit_cleanly():
     """Malformed --bucket-sizes specs must exit with a message before any
     checkpoint load or compile, not surface as a traceback."""
-    import pytest
     from opticalflow_tpu.cli.serve import main
     base = ["--ckpt", "/nonexistent.pth.tar", "--port", "0"]
     for spec in ("banana,1", "1,banana"):

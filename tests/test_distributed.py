@@ -101,10 +101,12 @@ model = PWCDCNet(variant="new", precision="fast")
 params = jax.jit(model.init)(jax.random.PRNGKey(0),
                              jnp.zeros((1, 64, 64, 6)))["params"]
 mesh = meshlib.make_mesh()
-# De-skew BEFORE engine construction: FlowEngine's params device_put is
-# itself a cross-process collective (jax asserts input equality via a
-# process allgather), and the init compile above can finish minutes apart
-# across ranks on a 1-core host — blowing Gloo's 30 s context-init window.
+# De-skew after the init compile (it can finish minutes apart across
+# ranks on a 1-core host) so the engine's coordination-service equality
+# check and everything after start roughly aligned.  Engine construction
+# itself performs NO device collective — params assemble process-locally
+# (meshlib.replicate) precisely to keep Gloo's 30 s first-contact window
+# out of the construction path.
 meshlib.barrier("post_init")
 engine = FlowEngine(model, params, mesh=mesh)
 
